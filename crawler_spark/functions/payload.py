@@ -1,0 +1,177 @@
+"""Image payload codec, perceptual hash, and validation UDFs.
+
+This is the image+caption analog of the reference's per-row HTML
+field extraction (src/advert.py:188-285 Karriere, 288-381 Stepstone):
+payload bytes in, struct of derived/validated fields out, executed as
+Arrow-batched pandas UDFs (never per-row Python in the plan).
+
+Formats: 'raw' (uncompressed RGB, w*h*3 uint8) is fully implemented
+with numpy only. 'png'/'jpeg' decode is STUBBED behind
+NotImplementedError — the image codec libraries are not available in
+this container; the Spark-side plumbing (schema, batching, UDF
+signatures) is identical for real codecs.
+"""
+
+from __future__ import annotations
+
+import zlib
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+GLOBAL_SEED = 42
+
+# ----------------------------------------------------------------- core
+
+
+def pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic ground-truth pixels for a synthetic image.
+
+    Seeded PRNG noise plus a low-frequency gradient keyed off the id,
+    so the DCT in phash64 sees structure, not just white noise.
+    """
+    seed = (GLOBAL_SEED << 32) ^ zlib.crc32(image_id.encode("utf-8"))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((xx * (seed % 7 + 1) + yy * (seed % 5 + 1)) % 256).astype(np.uint8)
+    return ((noise.astype(np.uint16) + grad[..., None]) // 2).astype(np.uint8)
+
+
+def encode_payload(pixels: np.ndarray, fmt: str = "raw") -> bytes:
+    if fmt == "raw":
+        return pixels.tobytes()
+    raise NotImplementedError(
+        f"codec {fmt!r} not available in this environment (no image libs); "
+        "'raw' is the supported interchange format"
+    )
+
+
+def decode_payload(data: bytes, w: int, h: int, fmt: str = "raw") -> np.ndarray:
+    if fmt == "raw":
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if arr.size != w * h * 3:
+            raise ValueError(f"raw payload size {arr.size} != {w}x{h}x3")
+        return arr.reshape(h, w, 3)
+    raise NotImplementedError(
+        f"codec {fmt!r} not available in this environment (no image libs)"
+    )
+
+
+@lru_cache(maxsize=4)
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n x n)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2.0 * n))
+    c[0, :] /= np.sqrt(2.0)
+    return c
+
+
+def _resize_gray(pixels: np.ndarray, size: int = 32) -> np.ndarray:
+    """Grayscale + deterministic resize to size x size.
+
+    Multiples of ``size`` use exact average pooling; otherwise
+    nearest-neighbor index sampling (both fully deterministic).
+    """
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    if h % size == 0 and w % size == 0:
+        return gray.reshape(size, h // size, size, w // size).mean(axis=(1, 3))
+    ri = (np.arange(size) * h) // size
+    ci = (np.arange(size) * w) // size
+    return gray[np.ix_(ri, ci)]
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (classic pHash construction).
+
+    32x32 grayscale -> DCT-II -> top-left 8x8 low-frequency block ->
+    threshold against the median of the 63 AC coefficients (DC bit is
+    always 0). Returned as a signed int64 for parquet/Spark LongType.
+    """
+    g = _resize_gray(pixels, 32)
+    c = _dct_matrix(32)
+    d = c @ g @ c.T
+    block = d[:8, :8].flatten()
+    ac = block[1:]
+    med = np.median(ac)
+    bits = np.zeros(64, dtype=np.uint64)
+    bits[1:] = (ac > med).astype(np.uint64)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return (val & ((1 << 63) - 1)) - (val & (1 << 63))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+# ------------------------------------------------------------- UDFs
+
+FETCH_RESULT_SCHEMA = StructType([StructField("bytes", BinaryType(), True)])
+
+PARSE_RESULT_SCHEMA = StructType(
+    [
+        StructField("phash", LongType(), True),
+        StructField("decode_ok", BooleanType(), False),
+        StructField("psnr_db", DoubleType(), True),
+    ]
+)
+
+
+@F.pandas_udf(BinaryType())
+def synth_fetch_bytes(image_id: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+    """The synthetic fetch: materialize payload bytes for a URL batch.
+
+    Stands in for the rate-limited requests.get
+    (src/harvester.py:428-442); deterministic so the fidelity oracle
+    can recompute the identical payload.
+    """
+    out = []
+    for iid, ww, hh, ff in zip(image_id, w, h, fmt):
+        out.append(encode_payload(pixels_for(iid, int(ww), int(hh)), ff))
+    return pd.Series(out)
+
+
+@F.pandas_udf(PARSE_RESULT_SCHEMA)
+def parse_payload(
+    data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series, image_id: pd.Series
+) -> pd.DataFrame:
+    """Decode + validate a payload batch: phash, PSNR vs ground truth.
+
+    Analog of building the BeautifulSoup tree once per page and
+    extracting fields (src/advert.py:22-26, 188-285): payload ->
+    struct of derived fields, one Arrow batch at a time.
+    """
+    phashes: list[int | None] = []
+    oks: list[bool] = []
+    psnrs: list[float | None] = []
+    for d, ww, hh, ff, iid in zip(data, w, h, fmt, image_id):
+        try:
+            px = decode_payload(d, int(ww), int(hh), ff)
+            ref = pixels_for(iid, int(ww), int(hh))
+            p = psnr(px, ref)
+            phashes.append(phash64(px))
+            oks.append(True)
+            psnrs.append(p if np.isfinite(p) else 99.0)
+        except (ValueError, NotImplementedError):
+            phashes.append(None)
+            oks.append(False)
+            psnrs.append(None)
+    return pd.DataFrame({"phash": phashes, "decode_ok": oks, "psnr_db": psnrs})

@@ -1,0 +1,79 @@
+"""Per-host politeness admission as a window-ranked priority queue.
+
+The reference sleeps the remainder of
+``crawl_delay = max(60/requests_per_minute, robots Crawl-delay)``
+before every fetch (src/harvester.py:420-434; etc/config.yml:5,9,14).
+In a distributed round-based scheduler the same budget becomes a
+per-host TOKEN COUNT per round:
+
+    tokens(host) = max(1, floor(round_duration / crawl_delay))
+
+and admission = the ``tokens`` highest-priority pending rows per
+host, ordered by (priority, sitemap_seq, loc_seq) so per-host
+emission order equals the reference's strict sitemap document order
+(SURVEY O-36/O-37). The rest of the frontier stays pending for the
+next round.
+
+Scale note — the naive plan is one Window over partitionBy(host),
+which serializes each hot host's full pending set into a single task
+sort (Zipfian hosts make this the bottleneck). Since only the top
+``tokens`` rows per host survive, we use two-phase top-k: a salted
+local rank first (partition (host, salt), keep rank <= tokens inside
+each salt), which shrinks the input of the exact global per-host rank
+to at most n_salt * tokens rows per host. Both phases are pure
+DataFrame ops; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ["priority", "sitemap_seq", "loc_seq", "url"]
+
+
+def with_tokens(df_with_host: DataFrame, robots: DataFrame, round_duration: float) -> DataFrame:
+    """Broadcast-join the per-host token budget onto frontier rows."""
+    budget = robots.select(
+        "host",
+        F.greatest(
+            60.0 / F.col("requests_per_minute"),
+            F.coalesce(F.col("robots_crawl_delay"), F.lit(0.0)),
+        ).alias("crawl_delay"),
+        "retry_timeout_min",
+    ).withColumn(
+        "tokens",
+        F.greatest(F.lit(1), F.floor(F.lit(round_duration) / F.col("crawl_delay"))).cast("int"),
+    )
+    return df_with_host.join(F.broadcast(budget), on="host", how="inner")
+
+
+def admit(
+    pending: DataFrame,
+    robots: DataFrame,
+    round_duration: float = 60.0,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Admit up to tokens(host) rows per host; adds ``admit_rank``.
+
+    ``admit_rank`` is the deterministic per-host emission order — the
+    engine's analog of the reference's sequential fetch order within
+    a portal thread.
+    """
+    df = with_tokens(pending, robots, round_duration)
+
+    if n_salt > 1:
+        # Phase 1: salted local top-k — bounds any single task's sort.
+        salt = F.pmod(F.col("fp"), F.lit(n_salt))
+        w_local = Window.partitionBy(F.col("host"), salt).orderBy(*[F.col(c) for c in ORDER_COLS])
+        df = df.withColumn("_lr", F.row_number().over(w_local)).filter(
+            F.col("_lr") <= F.col("tokens")
+        ).drop("_lr")
+
+    # Phase 2: exact global per-host rank on the reduced set.
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])
+    return (
+        df.withColumn("admit_rank", F.row_number().over(w))
+        .filter(F.col("admit_rank") <= F.col("tokens"))
+        .drop("tokens", "crawl_delay")
+    )

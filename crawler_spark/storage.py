@@ -1,0 +1,154 @@
+"""Snapshot-committed table storage with an Iceberg-shaped API.
+
+The reference keeps all state in one SQLite file and commits every
+100 rows (src/harvester.py:863-865, src/analyzer.py:291-293). Here
+every scheduling round commits one atomic snapshot per state table,
+which is what makes runs resumable from a checkpoint (north rule).
+
+On a real cluster this maps 1:1 onto Iceberg:
+  append    -> INSERT INTO
+  overwrite -> INSERT OVERWRITE / MERGE
+  snapshot  -> the Iceberg snapshot id
+This sandbox has no iceberg-spark-runtime jar, so the same semantics
+are emulated with parquet snapshot directories plus an atomically
+renamed JSON manifest (write temp, os.replace). Each table version is
+immutable; the manifest names the current version; resume = read the
+manifest. The engine only talks to this class, so swapping in real
+Iceberg is a constructor change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class SnapshotCatalog:
+    """Versioned parquet tables under ``root`` with atomic manifests."""
+
+    spark: SparkSession
+    root: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    # ------------------------------------------------------------ paths
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_manifest.json")
+
+    def _read_manifest(self, name: str) -> dict | None:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, name: str, manifest: dict) -> None:
+        d = self._table_dir(name)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(name))  # atomic commit point
+
+    # ------------------------------------------------------------ reads
+    def exists(self, name: str) -> bool:
+        return self._read_manifest(name) is not None
+
+    def read(self, name: str, schema: StructType | None = None) -> DataFrame:
+        """Current snapshot of ``name``; empty DF with ``schema`` if absent."""
+        if name in self._cache:
+            return self._cache[name]
+        m = self._read_manifest(name)
+        if m is None:
+            if schema is None:
+                raise FileNotFoundError(f"table {name} has no snapshot and no schema given")
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(*[os.path.join(self._table_dir(name), p) for p in m["paths"]])
+        self._cache[name] = df
+        return df
+
+    def snapshot_version(self, name: str) -> int:
+        m = self._read_manifest(name)
+        return -1 if m is None else m["version"]
+
+    def properties(self, name: str) -> dict:
+        m = self._read_manifest(name)
+        return {} if m is None else m.get("properties", {})
+
+    # ----------------------------------------------------------- writes
+    def _write_version(self, name: str, df: DataFrame) -> str:
+        m = self._read_manifest(name)
+        version = 0 if m is None else m["version"] + 1
+        rel = f"v{version:06d}-{int(time.time() * 1000)}"
+        out = os.path.join(self._table_dir(name), rel)
+        df.write.mode("overwrite").parquet(out)
+        return rel
+
+    def overwrite(self, name: str, df: DataFrame, properties: dict | None = None) -> None:
+        """Replace table contents atomically (Iceberg INSERT OVERWRITE)."""
+        rel = self._write_version(name, df)
+        m = self._read_manifest(name)
+        version = 0 if m is None else m["version"] + 1
+        self._commit_manifest(
+            name,
+            {"version": version, "paths": [rel], "properties": properties or {}},
+        )
+        self._cache.pop(name, None)
+
+    def append(self, name: str, df: DataFrame, properties: dict | None = None) -> None:
+        """Append a new data file set atomically (Iceberg INSERT INTO).
+
+        Appends reuse prior snapshot files by reference — no rewrite of
+        existing data, which is what keeps per-round commits O(delta)
+        instead of O(table) at 10^10-row scale.
+        """
+        rel = self._write_version(name, df)
+        m = self._read_manifest(name)
+        paths = ([*m["paths"], rel]) if m else [rel]
+        version = 0 if m is None else m["version"] + 1
+        props = (m.get("properties", {}) if m else {}) | (properties or {})
+        self._commit_manifest(name, {"version": version, "paths": paths, "properties": props})
+        self._cache.pop(name, None)
+
+    def merge_insert(
+        self, name: str, df: DataFrame, key: str, schema: StructType | None = None
+    ) -> None:
+        """MERGE ... WHEN NOT MATCHED THEN INSERT on ``key``.
+
+        Analog of the reference's re-check-then-INSERT
+        (src/harvester.py:234-281) and INSERT OR IGNORE
+        (src/keyword_manager.py:72-77): only rows whose key is absent
+        are appended. Implemented as left_anti + append so existing
+        files are untouched.
+        """
+        if self.exists(name):
+            current = self.read(name, schema)
+            df = df.join(current.select(key), on=key, how="left_anti")
+        self.append(name, df)
+
+    def drop(self, name: str) -> None:
+        d = self._table_dir(name)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        self._cache.pop(name, None)
+
+    def uncache(self, name: str | None = None) -> None:
+        if name is None:
+            self._cache.clear()
+        else:
+            self._cache.pop(name, None)
+
+    def compact(self, name: str, schema: StructType | None = None) -> None:
+        """Rewrite the table into a single snapshot (Iceberg rewrite_data_files)."""
+        df = self.read(name, schema)
+        self.overwrite(name, df)

@@ -1,0 +1,220 @@
+"""End-to-end fidelity: Spark engine vs single-process reference twin.
+
+Asserts the BASELINE.json correctness contract: per-portal crawl
+ordering, URL-seen set equality, bridge (keyword match) equality,
+payload integrity (phash equality vs ground truth; PSNR >= 40 dB),
+plus routing/dedup/decoy/resume behaviors.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.frontier import CrawlEngine
+from crawler_spark.storage import SnapshotCatalog
+
+from reference_twin import run_twin
+
+ROUND_DURATION = 600.0
+
+
+@pytest.fixture(scope="module")
+def twin(corpus_pd_module):
+    return run_twin(corpus_pd_module, round_duration=ROUND_DURATION)
+
+
+@pytest.fixture(scope="module")
+def corpus_pd_module():
+    from crawler_spark.sources.synth import gen_corpus
+
+    return gen_corpus(n_pages=400, n_hosts=6, urlset_size=50)
+
+
+@pytest.fixture(scope="module")
+def corpus_module(spark, corpus_pd_module):
+    from crawler_spark.sources.synth import corpus_to_spark
+
+    return corpus_to_spark(spark, corpus_pd_module)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_module, tmp_path_factory):
+    cat = SnapshotCatalog(spark, str(tmp_path_factory.mktemp("warehouse")))
+    eng = CrawlEngine(
+        spark,
+        cat,
+        seed_pages=corpus_module["seed_pages"],
+        sitemap_entries=corpus_module["sitemap_entries"],
+        robots_rules=corpus_module["robots_rules"],
+        keywords=corpus_module["keywords"],
+        round_duration=ROUND_DURATION,
+    )
+    eng.bootstrap()
+    eng.run(max_rounds=50)
+    return eng
+
+
+def test_frontier_drained(engine):
+    assert engine.pending_count() == 0
+
+
+def test_url_seen_set_equality(engine, twin):
+    got = {r["url"] for r in engine.seen().select("url").collect()}
+    assert got == twin.seen
+
+
+def test_per_portal_crawl_order_equality(engine, twin):
+    got = (
+        engine.pages()
+        .select("portal", "id", "url")
+        .orderBy("portal", "id")
+        .collect()
+    )
+    by_portal: dict[str, list[str]] = {}
+    for r in got:
+        by_portal.setdefault(r["portal"], []).append(r["url"])
+    assert set(by_portal) == set(twin.order)
+    for portal in twin.order:
+        assert by_portal[portal] == twin.order[portal], f"order mismatch for {portal}"
+
+
+def test_ids_dense_per_portal(engine):
+    pdf = engine.pages().select("portal", "id").toPandas()
+    for portal, grp in pdf.groupby("portal"):
+        ids = sorted(grp["id"])
+        assert ids == list(range(1, len(ids) + 1))
+
+
+def test_bridge_equality(engine, twin):
+    got = {
+        (r["keyword_id"], r["portal"], r["page_id"])
+        for r in engine.bridge().collect()
+    }
+    assert got == twin.bridge
+
+
+def test_payload_integrity(engine, corpus_pd_module):
+    # engine-computed phash (from decoded fetched bytes) must equal the
+    # corpus ground truth; PSNR >= 40dB per input_hint.
+    seed = corpus_pd_module["seed_pages"][["image_id", "phash", "caption"]]
+    got = engine.pages().select("image_id", "phash", "caption").toPandas()
+    merged = got.merge(seed, on="image_id", suffixes=("_got", "_exp"))
+    assert len(merged) == len(got)
+    assert (merged.phash_got == merged.phash_exp).all()
+    assert (merged.caption_got.fillna("") == merged.caption_exp.fillna("")).all()
+
+
+def test_no_duplicate_urls_stored(engine):
+    n = engine.pages().count()
+    assert engine.pages().select("url").distinct().count() == n
+
+
+def test_decoy_sitemap_urls_never_crawled(engine):
+    # decoy sitemaps (companies-/geocity-) are regex-filtered at discovery
+    assert engine.pages().filter(F.col("url").contains("/company/")).count() == 0
+    assert engine.frontier().filter(F.col("url").contains("/company/")).count() == 0
+
+
+def test_retry_semantics(engine, corpus_pd_module, twin):
+    seed = corpus_pd_module["seed_pages"]
+    transient = seed[(seed.transient) & (seed.http_status >= 500)]
+    # transient 5xx urls that were discovered must be stored with attempt=1
+    discovered = twin.seen | twin.dropped
+    t_disc = set(transient.url) & discovered
+    got = engine.pages().filter(F.col("attempt") == 1).select("url").collect()
+    assert {r["url"] for r in got} == (t_disc & twin.seen)
+    # permanent 5xx never stored
+    permanent = set(seed[(~seed.transient) & (seed.http_status >= 500)].url)
+    assert not permanent & {r["url"] for r in engine.pages().select("url").collect()}
+
+
+def test_lineage_accounts_for_all_outcomes(engine, twin):
+    tot = (
+        engine.lineage()
+        .agg(
+            F.sum("stored").alias("stored"),
+            F.sum("dropped").alias("dropped"),
+            F.sum("scheduled").alias("scheduled"),
+        )
+        .collect()[0]
+    )
+    assert tot["stored"] == len(twin.seen)
+    assert tot["dropped"] == len(twin.dropped)
+    # scheduled = stored + dropped + retried attempts (each retry scheduled twice)
+    assert tot["scheduled"] >= tot["stored"] + tot["dropped"]
+
+
+def test_resume_equivalence(spark, corpus_module, corpus_pd_module, tmp_path_factory, twin):
+    """Kill after 2 rounds, rebuild the engine from the catalog, finish:
+    results must equal the uninterrupted run (checkpoint resume)."""
+    cat = SnapshotCatalog(spark, str(tmp_path_factory.mktemp("resume_wh")))
+
+    def mk():
+        return CrawlEngine(
+            spark,
+            cat,
+            seed_pages=corpus_module["seed_pages"],
+            sitemap_entries=corpus_module["sitemap_entries"],
+            robots_rules=corpus_module["robots_rules"],
+            keywords=corpus_module["keywords"],
+            round_duration=ROUND_DURATION,
+        )
+
+    e1 = mk()
+    e1.bootstrap()
+    e1.run_round()
+    e1.run_round()
+    del e1
+
+    e2 = mk()  # fresh object; all state from snapshots
+    assert e2.current_round() == 2
+    e2.run(max_rounds=50)
+    assert e2.pending_count() == 0
+    got_seen = {r["url"] for r in e2.seen().select("url").collect()}
+    assert got_seen == twin.seen
+    by_portal: dict[str, list[str]] = {}
+    for r in e2.pages().select("portal", "id", "url").orderBy("portal", "id").collect():
+        by_portal.setdefault(r["portal"], []).append(r["url"])
+    for portal in twin.order:
+        assert by_portal.get(portal, []) == twin.order[portal]
+
+
+def test_rebootstrap_over_existing_warehouse_drains(spark, corpus_module, engine, twin):
+    """Harvest re-run semantics (src/harvester.py:133-177): re-running
+    over an existing warehouse skips seen work, stores nothing new,
+    and the frontier drains instead of spinning pending forever."""
+    eng = CrawlEngine(
+        spark,
+        engine.catalog,
+        seed_pages=corpus_module["seed_pages"],
+        sitemap_entries=corpus_module["sitemap_entries"],
+        robots_rules=corpus_module["robots_rules"],
+        keywords=corpus_module["keywords"],
+        round_duration=ROUND_DURATION,
+    )
+    before = eng.pages().count()
+    eng.bootstrap()  # resets frontier to pending over stored state
+    metrics = eng.run(max_rounds=10)
+    assert eng.pending_count() == 0
+    assert len(metrics) < 10
+    assert eng.pages().count() == before  # nothing re-stored
+    assert {r["url"] for r in eng.seen().select("url").collect()} == twin.seen
+
+
+def test_bloom_off_equivalence(spark, corpus_module, tmp_path_factory, twin):
+    cat = SnapshotCatalog(spark, str(tmp_path_factory.mktemp("nobloom_wh")))
+    eng = CrawlEngine(
+        spark,
+        cat,
+        seed_pages=corpus_module["seed_pages"],
+        sitemap_entries=corpus_module["sitemap_entries"],
+        robots_rules=corpus_module["robots_rules"],
+        keywords=corpus_module["keywords"],
+        round_duration=ROUND_DURATION,
+        use_bloom=False,
+        n_salt=1,
+    )
+    eng.bootstrap()
+    eng.run(max_rounds=50)
+    got = {r["url"] for r in eng.seen().select("url").collect()}
+    assert got == twin.seen
