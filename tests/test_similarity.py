@@ -1,0 +1,79 @@
+"""Similarity search tests over the driver embeddings table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import similarity as sim
+
+from conftest import TESTDATA_SF
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TESTDATA_SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    q = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return q.cache()
+
+
+def numpy_topk(emb_pdf, q_pdf, k):
+    M = np.stack(emb_pdf["embedding"].map(np.asarray))
+    ids = emb_pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    out = {}
+    for qid, qv in zip(q_pdf["query_id"], q_pdf["query_vec"]):
+        qv = np.asarray(qv, dtype=np.float64)
+        sims = Mn @ (qv / np.linalg.norm(qv))
+        mask = ids != qid
+        order = sorted(zip(ids[mask], sims[mask]), key=lambda t: (-round(t[1], 6), t[0]))
+        out[qid] = [int(i) for i, _ in order[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, emb, queries):
+    got = sim.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    expected = numpy_topk(emb.toPandas(), queries.toPandas(), 5)
+    assert by_q == expected
+
+
+def test_lsh_ann_recall(emb, queries):
+    exact = sim.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = sim.cosine_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=16).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # driver embeddings are near-uniform random (hard case for LSH);
+    # 16 tables x 4 planes measures ~0.93 recall deterministically
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8
+    # approx scores are true cosines (no estimation error on the value)
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 1e-9
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant a near-identical vector of vec_id 0
+    first = emb.orderBy("vec_id").first()
+    v = list(first["embedding"])
+    v[0] = float(v[0]) + 1e-4
+    extra = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [900001], "embedding": [v], "label": [first["label"]]})
+    ).select("vec_id", F.col("embedding").cast("array<float>"), "label")
+    df = emb.unionByName(extra)
+    pairs = sim.embedding_near_dup_pairs(df, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (first["vec_id"], 900001) in got
