@@ -1,0 +1,218 @@
+"""Benchmark harness for crawler_spark.
+
+Default mode:
+  - boots Spark on local[$SPARK_GRAFT_CPUS] (default 32),
+  - runs the headline crawl-throughput job (full engine loop on the
+    deterministic synthetic corpus: discover -> seen anti-join ->
+    politeness admit -> fetch -> decode/phash -> keyword match ->
+    MERGE) and the per-query suite at $SPARK_GRAFT_SF_DIR
+    (default /root/testdata/sf0.1),
+  - re-runs the identical crawl job in a subprocess at local[8]
+    (BASELINE.md sandbox protocol) and reports throughput at both
+    parallelism levels + scaling efficiency = (rate_32/rate_8)/(32/8),
+  - prints ONE JSON line and refreshes BENCH.md.
+
+``--crawl-only`` runs just the crawl job and prints its JSON (used by
+the scaling subprocess). Set SPARK_GRAFT_SCALING=0 to skip the
+second-parallelism run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "seen_anti_join",
+    "politeness_admission",
+    "status_routing",
+    "keyword_match",
+    "filter_labeling",
+    "text_analysis",
+    "doc_fingerprint",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "embedding_near_dup",
+    "semi_join",
+    "events_rollup",
+    "tpch_q1",
+]
+
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+CRAWL_HOSTS = 16
+CRAWL_ROUNDS = 3
+
+
+def _force(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_crawl_throughput(spark) -> dict:
+    """Headline: frontier URLs scheduled+fetched per second."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.frontier import CrawlEngine
+    from crawler_spark.sources.synth import corpus_to_spark, gen_corpus
+    from crawler_spark.storage import SnapshotCatalog
+
+    corpus = corpus_to_spark(
+        spark, gen_corpus(n_pages=CRAWL_PAGES, n_hosts=CRAWL_HOSTS, seed=42)
+    )
+    # materialize inputs so generation cost is not billed to the engine
+    for df in corpus.values():
+        df.cache()
+        df.count()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        engine = CrawlEngine(
+            spark=spark,
+            catalog=SnapshotCatalog(spark, tmp),
+            seed_pages=corpus["seed_pages"],
+            sitemap_entries=corpus["sitemap_entries"],
+            robots_rules=corpus["robots_rules"],
+            keywords=corpus["keywords"],
+            round_duration=3600.0,
+            store_payload=False,
+        )
+        t0 = time.time()
+        engine.bootstrap()
+        metrics = engine.run(max_rounds=CRAWL_ROUNDS)
+        elapsed = time.time() - t0
+        scheduled = sum(m["scheduled"] for m in metrics)
+        stored = sum(m["stored"] for m in metrics)
+        seen_n = engine.seen().count()
+        pages_n = engine.pages().select(F.count("*")).collect()[0][0]
+    for df in corpus.values():
+        df.unpersist()
+    return {
+        "pages": CRAWL_PAGES,
+        "rounds": len(metrics),
+        "scheduled": scheduled,
+        "stored": stored,
+        "seen": seen_n,
+        "pages_table": pages_n,
+        "secs": round(elapsed, 2),
+        "urls_per_sec": round(scheduled / elapsed, 1),
+    }
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from crawler_spark.session import get_spark
+
+    spark = get_spark(app_name=f"crawler_spark_bench_{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--crawl-only" in sys.argv:
+        crawl = run_crawl_throughput(spark)
+        print(json.dumps({"cpus": cpus, **crawl}))
+        spark.stop()
+        return
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    crawl = run_crawl_throughput(spark)
+
+    query_secs: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        query_secs[name] = round(time.time() - t0, 3)
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                check=True,
+            )
+            low = json.loads(out.stdout.strip().splitlines()[-1])
+            ratio = crawl["urls_per_sec"] / low["urls_per_sec"]
+            scaling = {
+                "cores_low": 8,
+                "cores_high": int(cpus) if cpus.isdigit() else os.cpu_count(),
+                "urls_per_sec_low": low["urls_per_sec"],
+                "urls_per_sec_high": crawl["urls_per_sec"],
+                "speedup": round(ratio, 3),
+                "efficiency": round(ratio / (scaling_factor(cpus)), 3),
+            }
+        except (subprocess.SubprocessError, ValueError, KeyError) as e:  # noqa: PERF203
+            scaling = {"error": str(e)[:200]}
+
+    total = round(sum(query_secs.values()) + crawl["secs"], 2)
+    result = {
+        "metric": "frontier URLs scheduled+fetched/sec (sum over bench suite below)",
+        "value": total,
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+        "throughput_urls_per_sec": crawl["urls_per_sec"],
+        "scaling": scaling,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    _write_bench_md(result)
+    spark.stop()
+
+
+def scaling_factor(cpus: str) -> float:
+    high = int(cpus) if cpus.isdigit() else (os.cpu_count() or 32)
+    return high / 8.0
+
+
+def _write_bench_md(result: dict) -> None:
+    lines = [
+        "# BENCH — measured results (auto-written by bench.py)",
+        "",
+        f"- input: deterministic synthetic corpus, {result['crawl']['pages']} pages, "
+        f"{CRAWL_HOSTS} Zipfian hosts, seed=42; query suite at sf={result['sf']}",
+        f"- headline: **{result['throughput_urls_per_sec']} frontier URLs "
+        f"scheduled+fetched/sec** at local[{result['cpus']}] "
+        f"({result['crawl']['scheduled']} scheduled, {result['crawl']['stored']} stored, "
+        f"{result['crawl']['rounds']} rounds, {result['crawl']['secs']}s)",
+    ]
+    sc = result.get("scaling")
+    if sc and "error" not in sc:
+        lines += [
+            "",
+            "## Scaling-efficiency evidence (BASELINE.md sandbox protocol)",
+            "",
+            "| cores | URLs/sec | speedup vs 8 | per-core efficiency |",
+            "|---|---|---|---|",
+            f"| local[8] | {sc['urls_per_sec_low']} | 1.0 | 1.0 |",
+            f"| local[{sc['cores_high']}] | {sc['urls_per_sec_high']} | "
+            f"{sc['speedup']} | {sc['efficiency']} |",
+            "",
+            f"Efficiency = (rate_high / rate_low) / ({sc['cores_high']}/8) = "
+            f"**{sc['efficiency']}** (north-rule target >= 0.8 from N to 4N).",
+        ]
+    lines += ["", "## Per-query seconds", ""]
+    lines += [f"- {k}: {v}s" for k, v in result["queries"].items()]
+    lines.append("")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
