@@ -135,6 +135,64 @@ PARSE_RESULT_SCHEMA = StructType(
 )
 
 
+FETCH_PARSE_SCHEMA = StructType(
+    [
+        StructField("bytes", BinaryType(), True),
+        StructField("phash", LongType(), True),
+        StructField("decode_ok", BooleanType(), False),
+        StructField("psnr_db", DoubleType(), True),
+    ]
+)
+
+
+def make_fetch_parse_udf(store_bytes: bool = True, validate: bool = True):
+    """Fused fetch+decode+validate UDF: one Arrow pass per batch.
+
+    Fusing matters at scale: payload bytes are the widest column in
+    the pipeline (KB-MB per row); two chained pandas UDFs would ship
+    them JVM->Python->JVM->Python. Fused, the bytes are produced and
+    decoded inside one Python worker pass, and cross Arrow at all only
+    when ``store_bytes`` (the reference always persists html_body,
+    src/harvester.py:263-281; metrics-only runs skip the transfer).
+
+    ``validate`` re-derives the ground-truth pixels and scores PSNR
+    against them — the fidelity-suite contract (input_hint: decoded
+    allclose, PSNR >= 40 dB). A production crawl has no ground truth
+    to compare with, so throughput runs turn it off.
+    """
+
+    @F.pandas_udf(FETCH_PARSE_SCHEMA)
+    def fetch_parse(
+        image_id: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series
+    ) -> pd.DataFrame:
+        byts: list[bytes | None] = []
+        phashes: list[int | None] = []
+        oks: list[bool] = []
+        psnrs: list[float | None] = []
+        for iid, ww, hh, ff in zip(image_id, w, h, fmt):
+            try:
+                data = encode_payload(pixels_for(iid, int(ww), int(hh)), ff)
+                px = decode_payload(data, int(ww), int(hh), ff)
+                byts.append(data if store_bytes else None)
+                phashes.append(phash64(px))
+                oks.append(True)
+                if validate:
+                    p = psnr(px, pixels_for(iid, int(ww), int(hh)))
+                    psnrs.append(p if np.isfinite(p) else 99.0)
+                else:
+                    psnrs.append(None)
+            except (ValueError, NotImplementedError):
+                byts.append(None)
+                phashes.append(None)
+                oks.append(False)
+                psnrs.append(None)
+        return pd.DataFrame(
+            {"bytes": byts, "phash": phashes, "decode_ok": oks, "psnr_db": psnrs}
+        )
+
+    return fetch_parse
+
+
 @F.pandas_udf(BinaryType())
 def synth_fetch_bytes(image_id: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
     """The synthetic fetch: materialize payload bytes for a URL batch.

@@ -129,7 +129,10 @@ def native_host(url_col: Column) -> Column:
 def with_url_identity(df, url_col: str = "url"):
     """Add (canon_url, fp, host, host_hash) to a frame of URLs.
 
-    One Arrow pass over the batch for all four derived columns.
+    Python-reference variant: FNV-1a fingerprints + urlsplit hosts,
+    bit-identical to the single-process fidelity twin
+    (tests/reference_twin.py). Use :func:`with_url_identity_native`
+    in the engine hot path.
     """
     c = F.col(url_col)
     return (
@@ -137,4 +140,25 @@ def with_url_identity(df, url_col: str = "url"):
         .withColumn("fp", fp64_udf(c))
         .withColumn("host", host_udf(c))
         .withColumn("host_hash", host_bucket_udf(F.col("host")))
+    )
+
+
+def with_url_identity_native(df, url_col: str = "url", n_buckets: int = N_HOST_BUCKETS):
+    """Add (canon_url, fp, host, host_hash) with fp/host/host_hash as
+    native JVM expressions (xxhash64 + parse_url, whole-stage codegen).
+
+    The engine never interprets the fingerprint — any stable 64-bit
+    hash works as the dedup/bucketing key, so the hot path uses
+    Spark's builtin xxhash64 and keeps Python out of three of the four
+    derived columns; only RFC-3986 canonicalization stays an Arrow UDF.
+    """
+    c = F.col(url_col)
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    return (
+        df.withColumn("canon_url", canonicalize_udf(c))
+        .withColumn("fp", F.xxhash64(c))
+        .withColumn("host", host)
+        .withColumn(
+            "host_hash", F.pmod(F.xxhash64(F.col("host")), F.lit(n_buckets)).cast("int")
+        )
     )

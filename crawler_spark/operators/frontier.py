@@ -28,6 +28,8 @@ reference's own tests (tests/test_harvester.py:301, 394).
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -35,8 +37,8 @@ from pyspark.sql import functions as F
 
 from crawler_spark import schemas
 from crawler_spark.functions.keywords import keywords_as_rows, make_keyword_matcher
-from crawler_spark.functions.payload import parse_payload, synth_fetch_bytes
-from crawler_spark.functions.urls import with_url_identity
+from crawler_spark.functions.payload import make_fetch_parse_udf
+from crawler_spark.functions.urls import with_url_identity_native
 from crawler_spark.operators import politeness, routing, seen as seen_ops
 from crawler_spark.storage import SnapshotCatalog
 
@@ -62,7 +64,17 @@ class CrawlEngine:
     use_bloom: bool = True
     n_salt: int = 8
     store_payload: bool = True
+    validate_payload: bool = True
+    # "broadcast": bloom bitmaps live on the driver and ship to
+    # executors as a Spark broadcast — the probe UDF touches only
+    # (host_hash, fp). Right whenever the total bitmap size fits a
+    # broadcast (seen.BROADCAST_BLOOM_MAX_BYTES). "cogroup": bitmaps
+    # stay partitioned by host_hash and the probe is a co-partitioned
+    # cogroup — the 10^10-URL path, where blooms are GBs.
+    bloom_mode: str = "broadcast"
     _matcher: object = field(default=None, repr=False)
+    _bloom_bitmaps: dict | None = field(default=None, repr=False)
+    _id_base: dict | None = field(default=None, repr=False)
 
     # ------------------------------------------------------------ tables
     def frontier(self) -> DataFrame:
@@ -132,12 +144,11 @@ class CrawlEngine:
         )
 
         return (
-            with_url_identity(entries)
+            with_url_identity_native(entries)
             .withColumn("depth", F.lit(0))
             .withColumn("priority", F.lit(0))
             .withColumn("attempt", F.lit(0))
             .withColumn("retry_round", F.lit(0))
-            .withColumn("state", F.lit("pending"))
             .select(*[f.name for f in schemas.FRONTIER.fields])
         )
 
@@ -147,6 +158,55 @@ class CrawlEngine:
     # ------------------------------------------------------------ rounds
     def current_round(self) -> int:
         return int(self.catalog.properties("frontier").get("round", 0))
+
+    def _bitmaps(self) -> dict[int, bytes]:
+        """Driver-held bloom bitmaps, lazily restored from the catalog
+        snapshot (resume path)."""
+        if self._bloom_bitmaps is None:
+            rows = self.catalog.read("seen_bloom", seen_ops.BLOOM_SCHEMA).collect()
+            self._bloom_bitmaps = {int(r["host_hash"]): bytes(r["bitmap"]) for r in rows}
+        return self._bloom_bitmaps
+
+    def _commit_bloom(self, new_seen) -> None:
+        """Fold a round's stored fingerprints into the bloom sidecar.
+
+        broadcast mode: the per-round insert set is collected (16 B/row)
+        and folded on the driver, then snapshotted for resume — no
+        Python cogroup stage. cogroup mode (cluster scale): bitmaps
+        never leave their host_hash partition.
+        """
+        import numpy as np
+
+        if self.bloom_mode == "broadcast":
+            bitmaps = dict(self._bitmaps())
+            rows = new_seen.select("host_hash", "fp").collect()
+            by_bucket: dict[int, list[int]] = {}
+            for row in rows:
+                by_bucket.setdefault(int(row["host_hash"]), []).append(row["fp"])
+            for hh, fps in by_bucket.items():
+                bitmaps[hh] = seen_ops.bloom_build(
+                    np.asarray(fps, dtype=np.int64), bitmaps.get(hh)
+                )
+            self._bloom_bitmaps = bitmaps
+            self.catalog.overwrite(
+                "seen_bloom",
+                self.spark.createDataFrame(
+                    [(hh, bmp) for hh, bmp in bitmaps.items()], seen_ops.BLOOM_SCHEMA
+                ).coalesce(1),
+            )
+        else:
+            bloom = self.catalog.read("seen_bloom", seen_ops.BLOOM_SCHEMA)
+            self.catalog.overwrite("seen_bloom", seen_ops.update_blooms(bloom, new_seen))
+
+    def _portal_id_bases(self) -> dict[str, int]:
+        """Per-portal max stored id, held on the driver between rounds
+        and restored from the pages snapshot on resume."""
+        if self._id_base is None:
+            rows = (
+                self.pages().groupBy("portal").agg(F.max("id").alias("m")).collect()
+            )
+            self._id_base = {r["portal"]: int(r["m"]) for r in rows}
+        return self._id_base
 
     def _keyword_matcher(self):
         if self._matcher is None:
@@ -159,20 +219,37 @@ class CrawlEngine:
 
     def run_round(self) -> dict:
         """Execute one scheduling round; returns round metrics."""
+        timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+        marks: list[tuple[str, float]] = [("start", time.time())]
+
+        def mark(label: str) -> None:
+            if timing:
+                marks.append((label, time.time()))
+
         r = self.current_round()
         frontier = self.frontier()
         seen = self.seen()
-        bloom = (
-            self.catalog.read("seen_bloom", seen_ops.BLOOM_SCHEMA) if self.use_bloom else None
-        )
 
-        pending = frontier.filter(
-            (F.col("state") == "pending") & (F.col("retry_round") <= F.lit(r))
-        )
-        # Exact URL-seen anti-join (+ bloom prefilter). Also reconciles
-        # rows a crashed run stored but never flipped in the frontier.
-        unseen = seen_ops.filter_unseen(pending, seen, bloom)
-        admitted = politeness.admit(
+        # The frontier holds only open work: rows whose retry backoff
+        # reaches into the future are deferred as-is; the rest are this
+        # round's candidates.
+        eligible = frontier.filter(F.col("retry_round") <= F.lit(r))
+        deferred = frontier.filter(F.col("retry_round") > F.lit(r))
+
+        # Exact URL-seen anti-join (+ bloom prefilter). Seen rows leave
+        # the frontier permanently — this also reconciles rows a crashed
+        # run stored but never removed (harvest re-run semantics,
+        # src/harvester.py:133-177).
+        if not self.use_bloom:
+            unseen = seen_ops.filter_unseen(eligible, seen)
+        elif self.bloom_mode == "broadcast":
+            unseen = seen_ops.filter_unseen(
+                eligible, seen, bloom_bitmaps=self._bitmaps(), spark=self.spark
+            )
+        else:
+            bloom = self.catalog.read("seen_bloom", seen_ops.BLOOM_SCHEMA)
+            unseen = seen_ops.filter_unseen(eligible, seen, bloom)
+        admitted, leftover, admit_handle = politeness.admit_split(
             unseen, self.robots_rules, self.round_duration, self.n_salt
         )
 
@@ -194,25 +271,43 @@ class CrawlEngine:
         routed = routing.route(routing.effective_status(fetched)).cache()
 
         # ---- stored pages: materialize payload, decode+validate, match.
-        stored = routed.filter(F.col("outcome") == routing.OUT_STORE)
+        # The payload stage is the widest data in the pipeline (bytes
+        # per row), so parallelism is forced to the core budget here —
+        # upstream stages are narrow and AQE rightly coalesces them,
+        # which would otherwise starve the decode of executors.
+        stored = routed.filter(F.col("outcome") == routing.OUT_STORE).repartition(
+            self.spark.sparkContext.defaultParallelism, "fp"
+        )
+        fetch_parse = make_fetch_parse_udf(
+            store_bytes=self.store_payload, validate=self.validate_payload
+        )
         payload = stored.withColumn(
-            "bytes", synth_fetch_bytes("image_id", "w", "h", "fmt")
-        ).withColumn(
-            "parsed", parse_payload("bytes", "w", "h", "fmt", "image_id")
+            "parsed", fetch_parse("image_id", "w", "h", "fmt")
         )
 
         # per-portal dense id continuation (reference AUTOINCREMENT analog,
-        # src/harvester.py:63-79): base = max stored id per portal so far.
-        base = (
-            self.pages()
-            .groupBy("portal")
-            .agg(F.max("id").alias("_base"))
+        # src/harvester.py:63-79): bases are maintained on the driver
+        # (restored from the pages snapshot on resume) — no per-round
+        # rescan of the pages table.
+        bases = self._portal_id_bases()
+        base_expr = (
+            F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in bases.items() for x in kv]
+                    ),
+                    F.col("portal"),
+                ),
+                F.lit(0),
+            )
+            if bases
+            else F.lit(0)
         )
         w_portal = Window.partitionBy("portal").orderBy("admit_rank", "url")
         new_pages = (
-            payload.join(F.broadcast(base), on="portal", how="left")
+            payload
             .withColumn(
-                "id", F.row_number().over(w_portal) + F.coalesce(F.col("_base"), F.lit(0))
+                "id", (F.row_number().over(w_portal) + base_expr).cast("long")
             )
             .select(
                 "id",
@@ -221,9 +316,7 @@ class CrawlEngine:
                 "fp",
                 F.col("status").alias("http_status"),
                 "image_id",
-                (F.col("bytes") if self.store_payload else F.lit(None).cast("binary")).alias(
-                    "bytes"
-                ),
+                F.col("parsed.bytes").alias("bytes"),
                 "w",
                 "h",
                 "fmt",
@@ -249,11 +342,14 @@ class CrawlEngine:
             .select("keyword_id", "page_id", "portal")
         )
 
-        # host_hash comes from the frontier so seen/bloom bucketing
-        # matches the politeness partitioning exactly.
-        new_seen = new_pages.join(
-            frontier.select("url", "host_hash"), on="url", how="inner"
-        ).select("fp", "url", "host_hash", F.lit(r).cast("int").alias("first_round"))
+        # host_hash rides through from the admitted frontier rows, so
+        # seen/bloom bucketing matches the politeness partitioning
+        # exactly — no re-join against the frontier, no recompute of
+        # the (uncached, payload-wide) decode chain.
+        new_seen = (
+            routed.filter(F.col("outcome") == routing.OUT_STORE)
+            .select("fp", "url", "host_hash", F.lit(r).cast("int").alias("first_round"))
+        )
 
         # ---- lineage metrics per host (the ads/min log analog,
         # src/harvester.py:318-326, as queryable rows).
@@ -267,67 +363,61 @@ class CrawlEngine:
             F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("errors"),
         ).select(*[f.name for f in schemas.LINEAGE.fields])
 
-        # ---- frontier state updates
-        # Reconciliation: pending rows already in the seen set (a
-        # replayed half-round, or a re-bootstrap over an existing
-        # warehouse — the reference's harvest re-run just skips seen
-        # work, src/harvester.py:133-177) flip to stored so the
-        # frontier drains instead of spinning empty rounds.
-        reconciled = pending.join(
-            seen.select("fp", "url"), on=["fp", "url"], how="left_semi"
-        ).select(
-            "url",
-            F.lit("stored").alias("_state"),
-            F.col("attempt").alias("_attempt"),
-            F.lit(None).cast("int").alias("_retry_round"),
-        )
-        updates = routing.with_retry_round(routed, r, self.round_duration).select(
-            "url",
-            F.when(F.col("outcome") == routing.OUT_STORE, "stored")
-            .when(F.col("outcome") == routing.OUT_RETRY, "pending")
-            .otherwise("dropped")
-            .alias("_state"),
-            F.when(F.col("outcome") == routing.OUT_RETRY, F.col("attempt") + 1)
-            .otherwise(F.col("attempt"))
-            .alias("_attempt"),
-            F.when(F.col("outcome") == routing.OUT_RETRY, F.col("retry_round"))
-            .otherwise(F.lit(None))
-            .cast("int")
-            .alias("_retry_round"),
-        ).unionByName(reconciled)
-        new_frontier = (
-            frontier.join(updates, on="url", how="left")
-            .select(
-                *[
-                    c
-                    for c in frontier.columns
-                    if c not in ("state", "attempt", "retry_round")
-                ],
-                F.coalesce(F.col("_state"), F.col("state")).alias("state"),
-                F.coalesce(F.col("_attempt"), F.col("attempt")).cast("int").alias("attempt"),
-                F.coalesce(F.col("_retry_round"), F.col("retry_round"))
-                .cast("int")
-                .alias("retry_round"),
+        # ---- next frontier = deferred retries + politeness leftover +
+        # this round's 5xx-retry re-entries. Stored, dropped, and
+        # seen-reconciled rows simply leave — no O(frontier) join, and
+        # the snapshot write is O(open work).
+        fcols = [f.name for f in schemas.FRONTIER.fields]
+        retries = (
+            routing.with_retry_round(
+                routed.filter(F.col("outcome") == routing.OUT_RETRY),
+                r,
+                self.round_duration,
             )
-            .select(*[f.name for f in schemas.FRONTIER.fields])
+            .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
+            .select(*fcols)
+        )
+        new_frontier = (
+            deferred.select(*fcols)
+            .unionByName(leftover.select(*fcols))
+            .unionByName(retries)
         )
 
         # ---- commit (order: pages, bridge, seen, bloom, lineage, frontier;
         # merge_insert on pages makes a replayed half-round idempotent).
+        mark("plan")
         self.catalog.merge_insert("pages", new_pages, key="url", schema=schemas.PAGES)
+        mark("pages")
         self.catalog.append("bridge", new_bridge)
+        mark("bridge")
         self.catalog.append("seen", new_seen)
+        mark("seen")
         if self.use_bloom:
-            self.catalog.overwrite(
-                "seen_bloom", seen_ops.update_blooms(bloom, new_seen)
-            )
-        self.catalog.append("lineage", lineage)
+            self._commit_bloom(new_seen)
+        mark("bloom")
+        self.catalog.append("lineage", lineage.coalesce(1))
+        mark("lineage")
         self.catalog.overwrite("frontier", new_frontier, properties={"round": r + 1})
+        mark("frontier")
 
-        counts = {
-            row["outcome"]: row["n"]
-            for row in routed.groupBy("outcome").agg(F.count("*").alias("n")).collect()
-        }
+        by_outcome_portal = routed.groupBy("outcome", "portal").agg(
+            F.count("*").alias("n")
+        ).collect()
+        counts: dict[str, int] = {}
+        bases = self._portal_id_bases()
+        for row in by_outcome_portal:
+            counts[row["outcome"]] = counts.get(row["outcome"], 0) + row["n"]
+            if row["outcome"] == routing.OUT_STORE:
+                bases[row["portal"]] = bases.get(row["portal"], 0) + row["n"]
+        mark("counts")
+        if timing:
+            spans = ", ".join(
+                f"{label}={t1 - t0:.1f}s"
+                for (_, t0), (label, t1) in zip(marks, marks[1:])
+            )
+            print(f"[round {r}] {spans}")
+        if admit_handle is not None:
+            admit_handle.unpersist()
         routed.unpersist()
         new_pages.unpersist()
         return {
@@ -339,13 +429,23 @@ class CrawlEngine:
         }
 
     def pending_count(self) -> int:
-        return self.frontier().filter(F.col("state") == "pending").count()
+        """Open work remaining (the frontier holds only pending rows)."""
+        return self.frontier().count()
 
     def run(self, max_rounds: int = 1000) -> list[dict]:
-        """Run rounds until the frontier drains (or max_rounds)."""
+        """Run rounds until the frontier drains (or max_rounds).
+
+        The expensive pending-count probe only runs when a round
+        scheduled nothing — which happens exactly when the frontier is
+        drained or every pending row is a future retry.
+        """
         metrics = []
         for _ in range(max_rounds):
+            m = self.run_round()
+            if m["scheduled"] > 0:
+                metrics.append(m)
+                continue
             if self.pending_count() == 0:
                 break
-            metrics.append(self.run_round())
+            metrics.append(m)  # all-pending-are-retries round: keep going
         return metrics

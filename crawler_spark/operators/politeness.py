@@ -60,20 +60,55 @@ def admit(
     engine's analog of the reference's sequential fetch order within
     a portal thread.
     """
+    admitted, _, _ = admit_split(pending, robots, round_duration, n_salt, cache=False)
+    return admitted
+
+
+def admit_split(
+    pending: DataFrame,
+    robots: DataFrame,
+    round_duration: float = 60.0,
+    n_salt: int = 8,
+    cache: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Split pending into (admitted, leftover, cache_handle).
+
+    ``admitted`` carries ``admit_rank``; ``leftover`` is every pending
+    row that did NOT make this round's token budget, with its original
+    columns — the caller unions it straight back into the next
+    frontier snapshot (no join against the admitted set needed).
+    ``cache_handle`` (when ``cache``) must be unpersisted by the
+    caller once both sides are consumed.
+    """
     df = with_tokens(pending, robots, round_duration)
 
     if n_salt > 1:
-        # Phase 1: salted local top-k — bounds any single task's sort.
+        # Phase 1: salted local rank — bounds any single task's sort on
+        # Zipfian hot hosts. Rows with local rank > tokens cannot make
+        # the global cut, so they go straight to leftover.
         salt = F.pmod(F.col("fp"), F.lit(n_salt))
         w_local = Window.partitionBy(F.col("host"), salt).orderBy(*[F.col(c) for c in ORDER_COLS])
-        df = df.withColumn("_lr", F.row_number().over(w_local)).filter(
-            F.col("_lr") <= F.col("tokens")
-        ).drop("_lr")
+        df = df.withColumn("_lr", F.row_number().over(w_local))
+    else:
+        df = df.withColumn("_lr", F.lit(1))
 
+    handle = None
+    if cache:
+        handle = df.cache()
+        df = handle
+
+    survivors = df.filter(F.col("_lr") <= F.col("tokens"))
     # Phase 2: exact global per-host rank on the reduced set.
     w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])
-    return (
-        df.withColumn("admit_rank", F.row_number().over(w))
-        .filter(F.col("admit_rank") <= F.col("tokens"))
-        .drop("tokens", "crawl_delay")
+    ranked = survivors.withColumn("admit_rank", F.row_number().over(w))
+    admitted = ranked.filter(F.col("admit_rank") <= F.col("tokens")).drop(
+        "_lr", "tokens", "crawl_delay"
     )
+    leftover = (
+        df.filter(F.col("_lr") > F.col("tokens"))
+        .unionByName(
+            ranked.filter(F.col("admit_rank") > F.col("tokens")).drop("admit_rank")
+        )
+        .drop("_lr", "tokens", "crawl_delay", "retry_timeout_min")
+    )
+    return admitted, leftover, handle

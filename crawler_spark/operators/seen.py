@@ -117,15 +117,72 @@ def prefilter_unseen(frontier: DataFrame, bloom_df: DataFrame) -> tuple[DataFram
     )
 
 
-def filter_unseen(frontier: DataFrame, seen: DataFrame, bloom_df: DataFrame | None = None) -> DataFrame:
+# Broadcast-probe cutoff: total bloom bitmap bytes that may ship to
+# every executor. Below it, the probe is a narrow scalar UDF over
+# (host_hash, fp) — two long columns through Arrow instead of every
+# frontier column through a cogroup. Above it (cluster scale: 10^10
+# URLs need ~10 bits/key = GBs of bitmap), the co-partitioned cogroup
+# keeps each bucket's bitmap on its own partition.
+BROADCAST_BLOOM_MAX_BYTES = 256 * 1024 * 1024
+
+
+def prefilter_unseen_broadcast(
+    frontier: DataFrame, bitmaps: dict[int, bytes], spark
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier via driver-broadcast bloom bitmaps.
+
+    Same contract as :func:`prefilter_unseen`; the bitmap dict rides a
+    Spark broadcast, the probe UDF touches only (host_hash, fp).
+    """
+    unpacked = {
+        hh: np.unpackbits(np.frombuffer(b, dtype=np.uint8)) for hh, b in bitmaps.items()
+    }
+    bc = spark.sparkContext.broadcast(unpacked)
+
+    @F.pandas_udf("int")
+    def probe(host_hash: pd.Series, fp: pd.Series) -> pd.Series:
+        bms = bc.value
+        out = np.zeros(len(fp), dtype=np.int32)
+        fps = fp.to_numpy()
+        hhs = host_hash.to_numpy()
+        for hh in np.unique(hhs):
+            bits = bms.get(int(hh))
+            if bits is None:
+                continue  # no bloom for the bucket: definitely-unseen
+            m = hhs == hh
+            sub = fps[m]
+            hit = np.ones(len(sub), dtype=bool)
+            for pos in _bloom_positions(sub):
+                hit &= bits[pos].astype(bool)
+            out[m] = hit.astype(np.int32)
+        return pd.Series(out)
+
+    probed = frontier.withColumn("maybe_seen", probe(F.col("host_hash"), F.col("fp")))
+    return (
+        probed.filter(F.col("maybe_seen") == 0).drop("maybe_seen"),
+        probed.filter(F.col("maybe_seen") == 1).drop("maybe_seen"),
+    )
+
+
+def filter_unseen(
+    frontier: DataFrame,
+    seen: DataFrame,
+    bloom_df: DataFrame | None = None,
+    bloom_bitmaps: dict[int, bytes] | None = None,
+    spark=None,
+) -> DataFrame:
     """Rows of ``frontier`` whose (fp, url) is not in ``seen``.
 
     Exact semantics of src/harvester.py:133-166 (only stored
-    status-200 pages are "seen"; failures are refetchable).
+    status-200 pages are "seen"; failures are refetchable). The bloom
+    is a prefilter only — exactness always comes from the anti-join.
     """
     seen_keys = seen.select("fp", "url")
-    if bloom_df is None:
+    if bloom_bitmaps is not None and spark is not None:
+        definite, maybe = prefilter_unseen_broadcast(frontier, bloom_bitmaps, spark)
+    elif bloom_df is not None:
+        definite, maybe = prefilter_unseen(frontier, bloom_df)
+    else:
         return frontier.join(seen_keys, on=["fp", "url"], how="left_anti")
-    definite, maybe = prefilter_unseen(frontier, bloom_df)
     checked = maybe.join(seen_keys, on=["fp", "url"], how="left_anti")
     return definite.unionByName(checked)

@@ -100,7 +100,12 @@ EXPORT_FILTERS = StructType(
 
 # ---------------------------------------------------------------- state
 
-# The frontier: every discovered URL and its crawl state.
+# The frontier: OPEN work only (a delta table). Rows leave when they
+# are stored, dropped, or found in the seen set; retries re-enter with
+# a future retry_round. Keeping only pending work means each round's
+# snapshot write is O(remaining), not O(all-ever-discovered) — at
+# 10^10 URLs the closed rows live in pages/seen/lineage, never
+# rewritten round over round.
 FRONTIER = StructType(
     [
         StructField("url", StringType(), False),
@@ -115,7 +120,6 @@ FRONTIER = StructType(
         StructField("priority", IntegerType(), False),
         StructField("attempt", IntegerType(), False),
         StructField("retry_round", IntegerType(), False),  # earliest round eligible
-        StructField("state", StringType(), False),  # pending|stored|dropped
     ]
 )
 

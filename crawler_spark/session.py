@@ -31,10 +31,13 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local mode: ~1x cores. On a cluster this should be
-        # 2-3x total executor cores (set via spark-submit conf).
+        # Single-JVM local mode: per-task cost is pure overhead for the
+        # many small relational stages, so fewer, larger shuffle
+        # partitions win (the wide payload stage is repartitioned to
+        # the full core budget explicitly by the engine). On a real
+        # cluster set 2-3x total executor cores via spark-submit conf.
         n = cpus if cpus != "*" else str(os.cpu_count() or 8)
-        shuffle_partitions = max(8, int(n))
+        shuffle_partitions = max(8, int(n) // 4)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -47,10 +50,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Broadcast smaller dimension tables aggressively (keywords,
-        # robots_rules, host token budgets are all tiny vs frontier).
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Broadcast the true dimension tables (keywords, robots_rules,
+        # host token budgets — all KBs) but NOT mid-size fact tables:
+        # at 10^10 URLs neither the corpus nor the seen set can ever
+        # broadcast, so the local plan should shuffle them too — and
+        # re-broadcasting MBs per round is slower than a co-partitioned
+        # join anyway.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -105,6 +105,10 @@ def gen_corpus(
     empty_frac: float = 0.01,
     with_phash: bool = True,
     seed: int = SEED,
+    rpms: tuple[int, ...] = (6000, 12, 2),
+    img_sizes: tuple[int, ...] = (32, 64, 96),
+    fault_frac: float = 1.0,
+    robots_delay_every: int = 4,
 ) -> dict[str, pd.DataFrame]:
     """Generate the full corpus as pandas DataFrames (all deterministic)."""
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -127,18 +131,20 @@ def gen_corpus(
                 url = f"https://{hosts[hi]}/stellenangebote--job-{uid}-inline.html"
             else:
                 url = f"https://{hosts[hi]}/jobs/{uid}"
+            # fault_frac scales the 8% fault budget (0.0 = clean corpus
+            # for throughput benches; 1.0 = the routing-matrix mix).
             r = rng.random()
-            if r < 0.92:
+            if r >= 0.08 * fault_frac:
                 status, transient = 200, False
-            elif r < 0.94:
+            elif r < 0.02 * fault_frac:
                 status, transient = 404, False
-            elif r < 0.96:
+            elif r < 0.04 * fault_frac:
                 status, transient = 410, False
             else:
                 status = int(500 + rng.integers(0, 5))
                 transient = bool(rng.random() < 0.5)
-            w = int(rng.choice([32, 64, 96]))
-            h = int(rng.choice([32, 64, 96]))
+            w = int(rng.choice(img_sizes))
+            h = int(rng.choice(img_sizes))
             caption = make_caption(uid, rng) if rng.random() > 0.02 else ""
             rows.append(
                 (
@@ -217,10 +223,13 @@ def gen_corpus(
 
     # ---- robots rules (etc/config.yml:1-16 + Crawl-delay fixture).
     rb_rows = []
-    rpms = [6000, 12, 2]
     for hi in range(n_hosts):
-        rpm = rpms[hi % 3]
-        delay = 10.0 if hi % 4 == 3 else None
+        rpm = rpms[hi % len(rpms)]
+        delay = (
+            10.0
+            if robots_delay_every and hi % robots_delay_every == robots_delay_every - 1
+            else None
+        )
         retry = 5 if styles[hi] == "karriere" else 15
         smaps = sorted(
             sitemap_entries[sitemap_entries.portal == portals[hi]].sitemap_url.unique()
