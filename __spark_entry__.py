@@ -400,6 +400,71 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb.unionByName(scaled), threshold=0.95, n_planes=6)
 
 
+def q_id_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-15: id-range predicate pushed to the parquet scan (the
+    reference's only 'pushdown', src/analyzer.py:247-262; Catalyst
+    pushes it into the file source — see PushedFilters in .explain)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") <= 250)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_export_csv_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-9: the fixed 8-column CSV row shape
+    (src/advert_exporter.py:172-181) over the documents graft."""
+    from crawler_spark.operators.export import with_keyword_titles
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("source").alias("portal"),
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("caption"),
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/jobs/"), F.col("doc_id")
+        ).alias("url"),
+    )
+    bridge = q_keyword_match(spark, sf_dir).join(
+        docs.select("doc_id", F.col("source").alias("portal")), on="doc_id"
+    ).select("keyword_id", F.col("doc_id").alias("page_id"), "portal")
+    keywords = spark.createDataFrame(
+        [(k[0], k[1]) for k in DOC_KEYWORDS], "id long, title string"
+    )
+    out = with_keyword_titles(pages, bridge, keywords)
+    return out.select(
+        F.col("caption").alias("job_title"),
+        F.lit(None).cast("string").alias("company_name"),
+        F.lit(None).cast("string").alias("location"),
+        "url",
+        "portal",
+        "related_keywords",
+        F.format_string("%s_%05d.html", F.col("portal"), F.col("id")).alias("filename"),
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload -> typed features via
+    mapInPandas (decode, phash, mean RGB, grayscale std). Payload bytes
+    are synthesized deterministically from doc ids since the driver
+    tables carry no binary columns (rows-only check)."""
+    from crawler_spark.functions.payload import make_fetch_parse_udf
+    from crawler_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.lit(32).alias("w"),
+        F.lit(32).alias("h"),
+        F.lit("raw").alias("fmt"),
+    )
+    fetch = make_fetch_parse_udf(store_bytes=True, validate=False)
+    with_bytes = docs.withColumn(
+        "bytes", fetch("image_id", "w", "h", "fmt")["bytes"]
+    )
+    return image_features(with_bytes).select(
+        "image_id", "w", "h", "phash", "std_gray", "decode_ok"
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-17/O-30: left-semi keyword-presence analog over orders⋉lineitem."""
     orders = _t(spark, sf_dir, "orders")
@@ -530,6 +595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        "id_range_scan": q_id_range_scan,
+        "export_csv_shape": q_export_csv_shape,
+        "image_features": q_image_features,
         "semi_join": q_semi_join,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -696,6 +764,23 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT *, row_number() OVER ("
             "    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
             "WHERE rank <= 5"
+        ),
+        "id_range_scan": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE doc_id BETWEEN 100 AND 250"
+        ),
+        "export_csv_shape": (
+            f"WITH bridge AS ({kw_match_union}), "
+            f"kw(id, title) AS (VALUES {kw_titles}) "
+            "SELECT d.text AS job_title, NULL::VARCHAR AS company_name, "
+            "  NULL::VARCHAR AS location, "
+            "  'https://www.' || d.source || '.example.com/jobs/' || d.doc_id AS url, "
+            "  d.source AS portal, "
+            "  string_agg(k.title, '; ' ORDER BY k.id) AS related_keywords, "
+            "  printf('%s_%05d.html', d.source, d.doc_id) AS filename "
+            "FROM bridge b JOIN kw k ON k.id = b.keyword_id "
+            "JOIN documents d ON d.doc_id = b.doc_id "
+            "GROUP BY d.doc_id, d.text, d.source"
         ),
         "embedding_near_dup": (
             "WITH base AS ("

@@ -43,8 +43,14 @@ def pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
     seed = (GLOBAL_SEED << 32) ^ zlib.crc32(image_id.encode("utf-8"))
     rng = np.random.Generator(np.random.PCG64(seed))
     noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    yy, xx = np.mgrid[0:h, 0:w]
-    grad = ((xx * (seed % 7 + 1) + yy * (seed % 5 + 1)) % 256).astype(np.uint8)
+    # uint32 broadcasting instead of int64 mgrid: identical values
+    # (max term ~3.6k << 2^32), a fraction of the memory traffic —
+    # this runs 32-wide on shared bandwidth in the decode stage.
+    yy = np.arange(h, dtype=np.uint32)[:, None]
+    xx = np.arange(w, dtype=np.uint32)[None, :]
+    grad = (
+        (xx * np.uint32(seed % 7 + 1) + yy * np.uint32(seed % 5 + 1)) % np.uint32(256)
+    ).astype(np.uint8)
     return ((noise.astype(np.uint16) + grad[..., None]) // 2).astype(np.uint8)
 
 
@@ -78,19 +84,27 @@ def _dct_matrix(n: int) -> np.ndarray:
     return c
 
 
+_GRAY_W = np.array([0.299, 0.587, 0.114])
+
+
 def _resize_gray(pixels: np.ndarray, size: int = 32) -> np.ndarray:
-    """Grayscale + deterministic resize to size x size.
+    """Deterministic resize to size x size + grayscale.
 
     Multiples of ``size`` use exact average pooling; otherwise
-    nearest-neighbor index sampling (both fully deterministic).
+    nearest-neighbor index sampling. Pooling runs on the uint8 data
+    BEFORE the float grayscale dot (the two linear ops commute), so no
+    full-resolution float64 temporary is ever materialized — at 32
+    concurrent decode workers per box that temp is pure memory-
+    bandwidth pressure.
     """
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    h, w = gray.shape
+    h, w = pixels.shape[:2]
     if h % size == 0 and w % size == 0:
-        return gray.reshape(size, h // size, size, w // size).mean(axis=(1, 3))
-    ri = (np.arange(size) * h) // size
-    ci = (np.arange(size) * w) // size
-    return gray[np.ix_(ri, ci)]
+        small = pixels.reshape(size, h // size, size, w // size, 3).mean(axis=(1, 3))
+    else:
+        ri = (np.arange(size) * h) // size
+        ci = (np.arange(size) * w) // size
+        small = pixels[np.ix_(ri, ci)].astype(np.float64)
+    return small @ _GRAY_W
 
 
 def phash64(pixels: np.ndarray) -> int:

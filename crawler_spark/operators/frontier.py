@@ -17,6 +17,10 @@ tables:
 Every round ends in one atomic snapshot per table; resume = read the
 frontier manifest's round property and continue (north rule:
 "resumable from checkpoint with per-partition lineage + metrics").
+The frontier is a DELTA table of open work only: rows leave it when
+stored, dropped, or found in the seen set, so the per-round snapshot
+write is O(remaining) — at 10^10 URLs the closed rows live in
+pages/seen/lineage and are never rewritten round over round.
 
 Ordering fidelity: within a portal the admission order is strictly
 (priority, sitemap_seq, loc_seq) — the reference's sitemap document
