@@ -400,6 +400,49 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb.unionByName(scaled), threshold=0.95, n_planes=6)
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-2/O-3: sitemap XML parsing — build one urlset document per
+    source from the documents table, parse it with the engine's
+    namespace-aware pandas UDF, posexplode in document order. The
+    oracle derives the same (portal, loc_seq, url) relation without
+    XML, so the check validates the parse round-trip exactly."""
+    from crawler_spark.sources.sitemap_xml import explode_sitemap_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.concat(
+            F.lit("<url><loc>https://www."),
+            F.col("source"),
+            F.lit(".example.com/jobs/"),
+            F.col("doc_id"),
+            F.lit("</loc></url>"),
+        ).alias("frag"),
+    )
+    xml_docs = docs.groupBy("source").agg(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "frag"))),
+                    lambda s: s["frag"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    ).select(
+        F.col("source").alias("portal"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/sitemap.xml")).alias(
+            "sitemap_url"
+        ),
+        "xml",
+    )
+    return explode_sitemap_documents(xml_docs).select(
+        "portal", F.col("loc_seq").cast("long").alias("loc_seq"), "url"
+    )
+
+
 def q_id_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-15: id-range predicate pushed to the parquet scan (the
     reference's only 'pushdown', src/analyzer.py:247-262; Catalyst
@@ -595,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        "sitemap_parse": q_sitemap_parse,
         "id_range_scan": q_id_range_scan,
         "export_csv_shape": q_export_csv_shape,
         "image_features": q_image_features,
@@ -764,6 +808,12 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT *, row_number() OVER ("
             "    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
             "WHERE rank <= 5"
+        ),
+        "sitemap_parse": (
+            "SELECT source AS portal, "
+            "  (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) AS loc_seq, "
+            "  'https://www.' || source || '.example.com/jobs/' || doc_id AS url "
+            "FROM documents"
         ),
         "id_range_scan": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
