@@ -72,18 +72,19 @@ def _steal_ticks() -> int:
         return 0
 
 
-def _run_crawl(spark, n_pages: int, warm: bool = False) -> dict:
-    from crawler_spark.operators.frontier import CrawlEngine
-    from crawler_spark.sources.synth import corpus_to_spark, gen_corpus
-    from crawler_spark.storage import SnapshotCatalog
+def _bench_corpus(spark, n_pages: int) -> dict:
+    """Deterministic bench corpus, cached — built once per leg.
 
-    # High politeness budgets: the bench measures the engine's
-    # mechanical frontier throughput (the north metric), not the
-    # configured crawl-delay ceiling that dominates wall-clock in a
-    # real deployment. fault_frac=0 -> the frontier drains in one
-    # round (fault routing is covered by the correctness suite);
-    # with_phash=False skips the driver-side seed phash (unused — the
-    # engine recomputes phash from fetched bytes).
+    High politeness budgets: the bench measures the engine's
+    mechanical frontier throughput (the north metric), not the
+    configured crawl-delay ceiling that dominates wall-clock in a
+    real deployment. fault_frac=0 -> the frontier drains in one
+    round (fault routing is covered by the correctness suite);
+    with_phash=False skips the driver-side seed phash (unused — the
+    engine recomputes phash from fetched bytes).
+    """
+    from crawler_spark.sources.synth import corpus_to_spark, gen_corpus
+
     corpus = corpus_to_spark(
         spark,
         gen_corpus(
@@ -100,6 +101,16 @@ def _run_crawl(spark, n_pages: int, warm: bool = False) -> dict:
     for df in corpus.values():  # generation cost is not billed to the engine
         df.cache()
         df.count()
+    return corpus
+
+
+def _run_crawl(spark, n_pages: int, warm: bool = False, corpus: dict | None = None) -> dict:
+    from crawler_spark.operators.frontier import CrawlEngine
+    from crawler_spark.storage import SnapshotCatalog
+
+    own_corpus = corpus is None
+    if own_corpus:
+        corpus = _bench_corpus(spark, n_pages)
 
     with tempfile.TemporaryDirectory() as tmp:
         engine = CrawlEngine(
@@ -122,8 +133,9 @@ def _run_crawl(spark, n_pages: int, warm: bool = False) -> dict:
         scheduled = sum(m["scheduled"] for m in metrics)
         stored = sum(m["stored"] for m in metrics)
         seen_n = 0 if warm else engine.seen().count()
-    for df in corpus.values():
-        df.unpersist()
+    if own_corpus:
+        for df in corpus.values():
+            df.unpersist()
     return {
         "pages": n_pages,
         "rounds": len(metrics),
@@ -191,9 +203,10 @@ def run_crawl_throughput(spark) -> dict:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     _run_crawl(spark, n_pages=2000, warm=True)
+    corpus = _bench_corpus(spark, CRAWL_PAGES)
     runs = []
     for _ in range(max(1, reps)):
-        r = _run_crawl(spark, n_pages=CRAWL_PAGES)
+        r = _run_crawl(spark, n_pages=CRAWL_PAGES, corpus=corpus)
         # steal-adjusted wall time: the hypervisor stole steal_cpu_secs
         # of CPU spread over `cores` lanes; on an unshared host the run
         # would have been at least that much faster. (Conservative —
@@ -201,6 +214,8 @@ def run_crawl_throughput(spark) -> dict:
         r["adj_secs"] = round(r["secs"] - r["steal_cpu_secs"] / cores, 2)
         r["adj_urls_per_sec"] = round(r["scheduled"] / r["adj_secs"], 1)
         runs.append(r)
+    for df in corpus.values():
+        df.unpersist()
     best = min(runs, key=lambda r: r["adj_secs"])
     best["reps"] = [
         {"secs": r["secs"], "adj_secs": r["adj_secs"], "steal_cpu_secs": r["steal_cpu_secs"]}
