@@ -394,7 +394,11 @@ class CrawlEngine:
         mark("pages")
         self.catalog.append("bridge", new_bridge)
         mark("bridge")
-        self.catalog.append("seen", new_seen)
+        # merge_insert (not append): a crashed run that committed seen
+        # but not the frontier replays the whole round — the url-keyed
+        # merge makes the replayed insert a no-op instead of doubling
+        # seen rows.
+        self.catalog.merge_insert("seen", new_seen, key="url", schema=schemas.SEEN)
         mark("seen")
         if self.use_bloom:
             self._commit_bloom(new_seen)

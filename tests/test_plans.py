@@ -1,0 +1,66 @@
+"""Plan-shape regression tests (crawler_spark.plans.audit).
+
+Pins the physical properties the 100 TB design depends on, so a
+refactor that silently de-optimizes a plan (filter stops reaching the
+scan, a text op falls back to Python, the anti-join degrades) fails CI
+rather than only showing up in EXPLAIN.md.
+"""
+
+import __spark_entry__ as entrymod
+from crawler_spark.plans.audit import audit_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return entrymod.queries()[name](spark, SF)
+
+
+def test_id_range_filter_reaches_scan(spark):
+    res = audit_plan(
+        "id_range_scan",
+        _q(spark, "id_range_scan"),
+        required=[r"PushedFilters: \[.*GreaterThanOrEqual\(doc_id,100\)"],
+        forbidden=[r"ArrowEvalPython"],
+    )
+    assert res.ok, res.summary
+
+
+def test_text_analysis_stays_jvm_side(spark):
+    res = audit_plan(
+        "text_analysis",
+        _q(spark, "text_analysis"),
+        required=[],
+        forbidden=[r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+    assert res.ok, res.summary
+
+
+def test_seen_dedup_is_anti_join(spark):
+    res = audit_plan(
+        "seen_anti_join",
+        _q(spark, "seen_anti_join"),
+        required=[r"LeftAnti"],
+        forbidden=[],
+    )
+    assert res.ok, res.summary
+
+
+def test_keyword_titles_broadcasts_dimension(spark):
+    res = audit_plan(
+        "keyword_titles",
+        _q(spark, "keyword_titles"),
+        required=[r"BroadcastHashJoin"],
+        forbidden=[],
+    )
+    assert res.ok, res.summary
+
+
+def test_minhash_signatures_native(spark):
+    res = audit_plan(
+        "minhash_lsh",
+        _q(spark, "minhash_lsh"),
+        required=[r"xxhash64"],
+        forbidden=[r"ArrowEvalPython"],
+    )
+    assert res.ok, res.summary

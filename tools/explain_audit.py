@@ -1,12 +1,10 @@
 """Plan audit: capture physical plans for the headline queries and
-check the properties that matter at 100 TB.
+check the properties that matter at 100 TB (core logic in
+crawler_spark.plans.audit).
 
-For each audited query the script records the formatted plan plus
-automated checks:
-- parquet scans carry PushedFilters / a pruned ReadSchema (no
-  full-width reads for narrow projections),
+- parquet scans carry PushedFilters / a pruned ReadSchema,
 - small dimensions broadcast (BroadcastHashJoin), big sides shuffle,
-- relational glue stays inside WholeStageCodegen,
+- relational glue stays inside whole-stage codegen,
 - no Python evaluation nodes outside the intended UDF stages.
 
 Writes EXPLAIN.md. Usage: python tools/explain_audit.py [sf_dir]
@@ -14,14 +12,11 @@ Writes EXPLAIN.md. Usage: python tools/explain_audit.py [sf_dir]
 
 from __future__ import annotations
 
-import io
-import re
 import sys
-from contextlib import redirect_stdout
 
 sys.path.insert(0, ".")
 
-CODEGEN = r"codegen id : "  # whole-stage codegen span marker in formatted plans
+from crawler_spark.plans.audit import CODEGEN, audit_plan  # noqa: E402
 
 AUDITS = {
     # query name -> (checks that must appear, forbidden patterns)
@@ -63,39 +58,11 @@ def main() -> None:
     sections = ["# EXPLAIN — physical-plan audit (auto-written by tools/explain_audit.py)", ""]
     failures = []
     for name, (required, forbidden) in AUDITS.items():
-        df = qs[name](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
-        probs = []
-        for pat in required:
-            if not re.search(pat, plan):
-                probs.append(f"MISSING {pat}")
-        for pat in forbidden:
-            if re.search(pat, plan):
-                probs.append(f"FORBIDDEN {pat}")
-        status = "OK" if not probs else "; ".join(probs)
-        print(f"{name}: {status}")
-        if probs:
+        res = audit_plan(name, qs[name](spark, sf_dir), required, forbidden)
+        print(f"{name}: {res.summary}")
+        if not res.ok:
             failures.append(name)
-        sections += [
-            f"## {name} — {status}",
-            "",
-            "```",
-            # keep the plan section compact: header + scans + joins
-            "\n".join(
-                ln
-                for ln in plan.splitlines()
-                if re.search(
-                    r"^\(\d+\)|PushedFilters|ReadSchema|WholeStageCodegen|"
-                    r"Join|Window|Exchange|ArrowEval|Scan parquet",
-                    ln,
-                )
-            )[:4000],
-            "```",
-            "",
-        ]
+        sections += [f"## {name} — {res.summary}", "", "```", res.compact_plan, "```", ""]
     with open("EXPLAIN.md", "w") as f:
         f.write("\n".join(sections))
     print("\nwrote EXPLAIN.md;", ("FAILURES: " + ", ".join(failures)) if failures else "all checks pass")
