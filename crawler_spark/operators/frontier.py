@@ -69,6 +69,12 @@ class CrawlEngine:
     n_salt: int = 8
     store_payload: bool = True
     validate_payload: bool = True
+    # in-page link discovery: stored pages' outlinks enter the frontier
+    # at depth+1 with priority driven by the parent's keyword score
+    # (north rule: "priority = depth/keyword-score analog of the
+    # reference's per-page keyword matcher")
+    follow_links: bool = True
+    max_depth: int = 3
     # "broadcast": bloom bitmaps live on the driver and ship to
     # executors as a Spark broadcast — the probe UDF touches only
     # (host_hash, fp). Right whenever the total bitmap size fits a
@@ -268,6 +274,7 @@ class CrawlEngine:
             F.col("http_status"),
             "transient",
             F.col("phash").alias("expected_phash"),
+            *(["outlinks"] if "outlinks" in self.seed_pages.columns else []),
         )
         fetched = admitted.join(corpus, on="url", how="left").withColumn(
             "transient", F.coalesce(F.col("transient"), F.lit(False))
@@ -386,6 +393,63 @@ class CrawlEngine:
             .unionByName(leftover.select(*fcols))
             .unionByName(retries)
         )
+
+        # ---- in-page link discovery (north-rule priority queue):
+        # stored pages' outlinks become depth+1 frontier rows, ordered
+        # ahead of their peers when the discovering page matched more
+        # keywords — the keyword-score analog of src/keyword_manager.py
+        # as the priority signal. BFS across depths (priority grows
+        # with depth), keyword-rich parents first within a depth.
+        if self.follow_links and "outlinks" in routed.columns:
+            matcher = self._keyword_matcher()
+            parents = (
+                routed.filter(
+                    (F.col("outcome") == routing.OUT_STORE)
+                    & (F.col("depth") < self.max_depth)
+                    & (F.size(F.coalesce(F.col("outlinks"), F.array())) > 0)
+                )
+                .withColumn(
+                    "kscore",
+                    F.size(
+                        matcher(
+                            F.col("caption"),
+                            F.lit(None).cast("string"),
+                            F.lit(None).cast("string"),
+                        )
+                    ),
+                )
+            )
+            children = (
+                parents.select(
+                    F.explode("outlinks").alias("url"),
+                    "portal",
+                    (F.col("depth") + 1).cast("int").alias("depth"),
+                    (
+                        (F.col("depth") + 1) * 1000 - F.least(F.col("kscore"), F.lit(999))
+                    ).cast("int").alias("priority"),
+                )
+                # multiple parents may discover the same url: keep the
+                # best (lowest) priority — first-discovery-wins analog
+                .groupBy("url")
+                .agg(
+                    F.min("priority").alias("priority"),
+                    F.min("depth").alias("depth"),
+                    F.first("portal").alias("portal"),
+                )
+            )
+            children = (
+                with_url_identity_native(children)
+                .withColumn("sitemap_seq", F.lit(0))
+                .withColumn("loc_seq", F.lit(0))
+                .withColumn("attempt", F.lit(0))
+                .withColumn("retry_round", F.lit(r + 1).cast("int"))
+                .select(*fcols)
+                # not already pending and not already harvested
+                .join(new_frontier.select("url"), on="url", how="left_anti")
+                .join(seen.select("url"), on="url", how="left_anti")
+                .select(*fcols)
+            )
+            new_frontier = new_frontier.unionByName(children)
 
         # ---- commit (order: pages, bridge, seen, bloom, lineage, frontier;
         # merge_insert on pages makes a replayed half-round idempotent).

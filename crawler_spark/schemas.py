@@ -45,6 +45,9 @@ SEED_PAGES = StructType(
         # (src/harvester.py:1087-1096) succeeds with 200.
         StructField("transient", BooleanType(), False),
         StructField("phash", LongType(), False),
+        # URLs this page links to (the in-page discovery source for
+        # depth>0 crawling; [] for leaf pages).
+        StructField("outlinks", ArrayType(StringType()), True),
     ]
 )
 

@@ -109,8 +109,16 @@ def gen_corpus(
     img_sizes: tuple[int, ...] = (32, 64, 96),
     fault_frac: float = 1.0,
     robots_delay_every: int = 4,
+    deep_frac: float = 0.0,
 ) -> dict[str, pd.DataFrame]:
-    """Generate the full corpus as pandas DataFrames (all deterministic)."""
+    """Generate the full corpus as pandas DataFrames (all deterministic).
+
+    ``deep_frac`` adds that fraction of EXTRA pages reachable only via
+    in-page links (never listed in a sitemap): each deep page is linked
+    from 1-2 same-host depth-0 pages, and a third of deep pages link on
+    to another deep page (depth 2). Exercises the link-discovery /
+    priority path of the scheduler.
+    """
     rng = np.random.Generator(np.random.PCG64(seed))
 
     # Zipfian host sizes (hot-host skew is a design requirement).
@@ -162,12 +170,45 @@ def gen_corpus(
             )
             uid += 1
 
-    seed_pages = pd.DataFrame(
-        rows,
-        columns=[
-            "image_id", "url", "host", "portal", "w", "h", "fmt",
-            "caption", "http_status", "transient",
-        ],
+    n_top = uid
+    cols = [
+        "image_id", "url", "host", "portal", "w", "h", "fmt",
+        "caption", "http_status", "transient",
+    ]
+    top_pages = pd.DataFrame(rows, columns=cols)
+
+    # ---- deep pages: reachable only through in-page links (never in a
+    # sitemap). Depth 1 = linked from 1-2 depth-0 pages of the same
+    # host; every third deep page is instead linked from the previous
+    # deep page (depth 2) — exercises multi-hop discovery + priority.
+    outlinks: dict[str, list[str]] = {}
+    deep_rows = []
+    n_deep = int(n_pages * deep_frac)
+    if n_deep:
+        deep_by_host: dict[str, list[str]] = {}
+        for d in range(n_deep):
+            hi = d % n_hosts
+            host, portal = hosts[hi], portals[hi]
+            url = f"https://{host}/detail/{uid}"
+            w = int(rng.choice(img_sizes))
+            h = int(rng.choice(img_sizes))
+            caption = make_caption(uid, rng)
+            deep_rows.append(
+                (f"img_{uid:08d}", url, host, portal, w, h, "raw", caption, 200, False)
+            )
+            siblings = deep_by_host.setdefault(host, [])
+            if len(siblings) % 3 == 2:
+                # depth 2: linked only from the previous deep page
+                outlinks.setdefault(siblings[-1], []).append(url)
+            else:
+                top_urls = top_pages[top_pages.host == host].url.to_numpy()
+                for pick in rng.integers(0, len(top_urls), int(rng.integers(1, 3))):
+                    outlinks.setdefault(top_urls[pick], []).append(url)
+            siblings.append(url)
+            uid += 1
+
+    seed_pages = pd.concat(
+        [top_pages, pd.DataFrame(deep_rows, columns=cols)], ignore_index=True
     )
     if with_phash:
         seed_pages["phash"] = [
@@ -177,6 +218,7 @@ def gen_corpus(
     else:
         seed_pages["phash"] = np.int64(0)
     seed_pages["phash"] = seed_pages["phash"].astype("int64")
+    seed_pages["outlinks"] = [sorted(set(outlinks.get(u, []))) for u in seed_pages.url]
 
     # ---- sitemap entries: per-portal document order, chunked urlsets,
     # plus decoy sitemaps (regex-filtered out, src/harvester.py:1135/1250),
@@ -184,7 +226,9 @@ def gen_corpus(
     # src/harvester.py:1303-1307).
     sm_rows = []
     for hi in range(n_hosts):
-        sub = seed_pages[seed_pages.host == hosts[hi]]
+        # only depth-0 pages are sitemap-listed; deep pages must be
+        # discovered through links
+        sub = seed_pages.iloc[:n_top][seed_pages.iloc[:n_top].host == hosts[hi]]
         order = rng.permutation(len(sub))
         urls = sub.url.to_numpy()[order]
         if styles[hi] == "stepstone":
