@@ -80,7 +80,9 @@ class CrawlEngine:
     # (host_hash, fp). Right whenever the total bitmap size fits a
     # broadcast (seen.BROADCAST_BLOOM_MAX_BYTES). "cogroup": bitmaps
     # stay partitioned by host_hash and the probe is a co-partitioned
-    # cogroup — the 10^10-URL path, where blooms are GBs.
+    # cogroup — the 10^10-URL path, where blooms are GBs. "cuckoo":
+    # broadcast path with per-bucket cuckoo filters instead of blooms
+    # — same probe cost, plus DELETE for URL expiry / re-crawl.
     bloom_mode: str = "broadcast"
     _matcher: object = field(default=None, repr=False)
     _bloom_bitmaps: dict | None = field(default=None, repr=False)
@@ -169,11 +171,17 @@ class CrawlEngine:
     def current_round(self) -> int:
         return int(self.catalog.properties("frontier").get("round", 0))
 
+    def _sidecar_table(self) -> str:
+        return "seen_cuckoo" if self.bloom_mode == "cuckoo" else "seen_bloom"
+
     def _bitmaps(self) -> dict[int, bytes]:
-        """Driver-held bloom bitmaps, lazily restored from the catalog
-        snapshot (resume path)."""
+        """Driver-held prefilter blobs (bloom bitmaps or serialized
+        cuckoo tables), lazily restored from the catalog snapshot
+        (resume path)."""
         if self._bloom_bitmaps is None:
-            rows = self.catalog.read("seen_bloom", seen_ops.BLOOM_SCHEMA).collect()
+            rows = self.catalog.read(
+                self._sidecar_table(), seen_ops.BLOOM_SCHEMA
+            ).collect()
             self._bloom_bitmaps = {int(r["host_hash"]): bytes(r["bitmap"]) for r in rows}
         return self._bloom_bitmaps
 
@@ -187,21 +195,33 @@ class CrawlEngine:
         """
         import numpy as np
 
-        if self.bloom_mode == "broadcast":
-            bitmaps = dict(self._bitmaps())
+        if self.bloom_mode in ("broadcast", "cuckoo"):
+            blobs = dict(self._bitmaps())
             rows = new_seen.select("host_hash", "fp").collect()
             by_bucket: dict[int, list[int]] = {}
             for row in rows:
                 by_bucket.setdefault(int(row["host_hash"]), []).append(row["fp"])
-            for hh, fps in by_bucket.items():
-                bitmaps[hh] = seen_ops.bloom_build(
-                    np.asarray(fps, dtype=np.int64), bitmaps.get(hh)
-                )
-            self._bloom_bitmaps = bitmaps
+            if self.bloom_mode == "cuckoo":
+                from crawler_spark.operators.cuckoo import CuckooFilter
+
+                for hh, fps in by_bucket.items():
+                    cf = (
+                        CuckooFilter.from_bytes(blobs[hh])
+                        if hh in blobs
+                        else CuckooFilter()
+                    )
+                    cf.insert_many(np.asarray(fps, dtype=np.int64))
+                    blobs[hh] = cf.to_bytes()
+            else:
+                for hh, fps in by_bucket.items():
+                    blobs[hh] = seen_ops.bloom_build(
+                        np.asarray(fps, dtype=np.int64), blobs.get(hh)
+                    )
+            self._bloom_bitmaps = blobs
             self.catalog.overwrite(
-                "seen_bloom",
+                self._sidecar_table(),
                 self.spark.createDataFrame(
-                    [(hh, bmp) for hh, bmp in bitmaps.items()], seen_ops.BLOOM_SCHEMA
+                    [(hh, bmp) for hh, bmp in blobs.items()], seen_ops.BLOOM_SCHEMA
                 ).coalesce(1),
             )
         else:
@@ -252,9 +272,18 @@ class CrawlEngine:
         # src/harvester.py:133-177).
         if not self.use_bloom:
             unseen = seen_ops.filter_unseen(eligible, seen)
-        elif self.bloom_mode == "broadcast":
+        elif self.bloom_mode in ("broadcast", "cuckoo"):
+            probe_fn = None
+            if self.bloom_mode == "cuckoo":
+                from crawler_spark.operators.cuckoo import cuckoo_maybe_contains
+
+                probe_fn = cuckoo_maybe_contains
             unseen = seen_ops.filter_unseen(
-                eligible, seen, bloom_bitmaps=self._bitmaps(), spark=self.spark
+                eligible,
+                seen,
+                bloom_bitmaps=self._bitmaps(),
+                spark=self.spark,
+                probe_fn=probe_fn,
             )
         else:
             bloom = self.catalog.read("seen_bloom", seen_ops.BLOOM_SCHEMA)
@@ -499,6 +528,83 @@ class CrawlEngine:
             "retried": counts.get(routing.OUT_RETRY, 0),
             "dropped": counts.get(routing.OUT_DROP, 0),
         }
+
+    def expire_seen(self, urls, drop_pages: bool = True) -> int:
+        """Forget URLs so a later (re-)bootstrap fetches them again.
+
+        The re-crawl path the reference lacks (its URL dedup is
+        permanent, src/harvester.py:133-166). Removes the URLs from
+        the seen table and — in cuckoo mode — DELETEs their
+        fingerprints from the sidecar in place; bloom sidecars are
+        append-only, so there the sidecar is rebuilt from the remaining
+        seen rows. ``drop_pages`` also removes the stored rows so the
+        re-fetch stores a fresh copy (it gets a new id: append order,
+        like a fresh harvest).
+
+        ``urls``: DataFrame with a ``url`` column, or list of strings.
+        Returns the number of URLs actually expired.
+        """
+        import numpy as np
+
+        if not isinstance(urls, DataFrame):
+            urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        urls = urls.select("url").distinct()
+
+        seen = self.seen()
+        expired = seen.join(urls, on="url", how="left_semi").select(
+            "url", "fp", "host_hash"
+        )
+        rows = expired.collect()
+        if not rows:
+            return 0
+        self.catalog.overwrite(
+            "seen", seen.join(urls, on="url", how="left_anti")
+        )
+        if self.use_bloom:
+            if self.bloom_mode == "cuckoo":
+                from crawler_spark.operators.cuckoo import CuckooFilter
+
+                blobs = dict(self._bitmaps())
+                by_bucket: dict[int, list[int]] = {}
+                for r in rows:
+                    by_bucket.setdefault(int(r["host_hash"]), []).append(r["fp"])
+                for hh, fps in by_bucket.items():
+                    if hh not in blobs:
+                        continue
+                    cf = CuckooFilter.from_bytes(blobs[hh])
+                    for fp in fps:
+                        cf.delete(int(fp))
+                    blobs[hh] = cf.to_bytes()
+                self._bloom_bitmaps = blobs
+                self.catalog.overwrite(
+                    self._sidecar_table(),
+                    self.spark.createDataFrame(
+                        list(blobs.items()), seen_ops.BLOOM_SCHEMA
+                    ).coalesce(1),
+                )
+            else:
+                # bloom bits cannot be cleared: rebuild from what remains
+                remaining = self.seen().select("host_hash", "fp").collect()
+                blobs = {}
+                by_bucket = {}
+                for r in remaining:
+                    by_bucket.setdefault(int(r["host_hash"]), []).append(r["fp"])
+                for hh, fps in by_bucket.items():
+                    blobs[hh] = seen_ops.bloom_build(np.asarray(fps, dtype=np.int64))
+                self._bloom_bitmaps = blobs
+                self.catalog.overwrite(
+                    self._sidecar_table(),
+                    self.spark.createDataFrame(
+                        list(blobs.items()) or [], seen_ops.BLOOM_SCHEMA
+                    ).coalesce(1),
+                )
+        if drop_pages:
+            pages = self.pages()
+            self.catalog.overwrite(
+                "pages", pages.join(urls, on="url", how="left_anti")
+            )
+            self._id_base = None  # bases changed; recompute from the table
+        return len(rows)
 
     def pending_count(self) -> int:
         """Open work remaining (the frontier holds only pending rows)."""

@@ -127,34 +127,32 @@ BROADCAST_BLOOM_MAX_BYTES = 256 * 1024 * 1024
 
 
 def prefilter_unseen_broadcast(
-    frontier: DataFrame, bitmaps: dict[int, bytes], spark
+    frontier: DataFrame, bitmaps: dict[int, bytes], spark, probe_fn=None
 ) -> tuple[DataFrame, DataFrame]:
-    """Split frontier via driver-broadcast bloom bitmaps.
+    """Split frontier via driver-broadcast per-bucket filter blobs.
 
-    Same contract as :func:`prefilter_unseen`; the bitmap dict rides a
+    Same contract as :func:`prefilter_unseen`; the blob dict rides a
     Spark broadcast, the probe UDF touches only (host_hash, fp).
+    ``probe_fn(fps, blob) -> bool array`` selects the filter family:
+    default is the bloom probe; pass
+    ``operators.cuckoo.cuckoo_maybe_contains`` for cuckoo sidecars.
     """
-    unpacked = {
-        hh: np.unpackbits(np.frombuffer(b, dtype=np.uint8)) for hh, b in bitmaps.items()
-    }
-    bc = spark.sparkContext.broadcast(unpacked)
+    if probe_fn is None:
+        probe_fn = bloom_maybe_contains
+    bc = spark.sparkContext.broadcast(bitmaps)
 
     @F.pandas_udf("int")
     def probe(host_hash: pd.Series, fp: pd.Series) -> pd.Series:
-        bms = bc.value
+        blobs = bc.value
         out = np.zeros(len(fp), dtype=np.int32)
         fps = fp.to_numpy()
         hhs = host_hash.to_numpy()
         for hh in np.unique(hhs):
-            bits = bms.get(int(hh))
-            if bits is None:
-                continue  # no bloom for the bucket: definitely-unseen
+            blob = blobs.get(int(hh))
+            if blob is None:
+                continue  # no filter for the bucket: definitely-unseen
             m = hhs == hh
-            sub = fps[m]
-            hit = np.ones(len(sub), dtype=bool)
-            for pos in _bloom_positions(sub):
-                hit &= bits[pos].astype(bool)
-            out[m] = hit.astype(np.int32)
+            out[m] = probe_fn(fps[m], blob).astype(np.int32)
         return pd.Series(out)
 
     probed = frontier.withColumn("maybe_seen", probe(F.col("host_hash"), F.col("fp")))
@@ -170,6 +168,7 @@ def filter_unseen(
     bloom_df: DataFrame | None = None,
     bloom_bitmaps: dict[int, bytes] | None = None,
     spark=None,
+    probe_fn=None,
 ) -> DataFrame:
     """Rows of ``frontier`` whose (fp, url) is not in ``seen``.
 
@@ -179,7 +178,9 @@ def filter_unseen(
     """
     seen_keys = seen.select("fp", "url")
     if bloom_bitmaps is not None and spark is not None:
-        definite, maybe = prefilter_unseen_broadcast(frontier, bloom_bitmaps, spark)
+        definite, maybe = prefilter_unseen_broadcast(
+            frontier, bloom_bitmaps, spark, probe_fn
+        )
     elif bloom_df is not None:
         definite, maybe = prefilter_unseen(frontier, bloom_df)
     else:
