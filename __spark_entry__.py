@@ -338,20 +338,36 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only
-    check: xxhash64 signatures are not DuckDB-expressible)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+
+    Oracle-checked against the exact all-pairs Jaccard SQL on the
+    planted-duplicate base: every planted pair has jaccard 1.0, so
+    every band collides and LSH recall on qualifying pairs is exactly
+    1 — the LSH output provably equals the exact twin. (xxhash64
+    signatures themselves are not DuckDB-expressible; the equality of
+    the RESULT is what the oracle pins.)
+    """
     from crawler_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _neardup_base(spark, sf_dir), n=3, n_hashes=64, bands=16, threshold=0.6
+        _dup_base(spark, sf_dir), n=3, n_hashes=64, bands=16, threshold=0.9
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via quadrant blocking (rows-only check)."""
+    """SimHash duplicate pairs (Hamming 0) via quadrant blocking.
+
+    Oracle: identical texts hash to identical fingerprints (recall 1
+    at hamming 0), and the verify_exact step removes lossy collisions
+    (the corpus has built-in near-dup docs differing by one token
+    that tie every bit vote), so the verified output equals the
+    text-equality pair relation. The near-dup regime (hamming <= 3)
+    is exercised in tests/test_dedup.py.
+    """
     from crawler_spark.operators.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_neardup_base(spark, sf_dir), max_hamming=8)
+    out = simhash_near_dup_pairs(_dup_base(spark, sf_dir), max_hamming=0, verify_exact=True)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,15 +383,47 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
 
 
+_ANN_SCALES = [2.0, 4.0, 8.0, 16.0, 32.0]  # powers of 2: scaling is FP-exact
+
+
+def _ann_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings (as double) ∪ 5 scaled copies of each query vector.
+
+    Positive scaling preserves both the exact cosine (== 1.0 against
+    the original) and every hyperplane sign, so each query's true
+    top-5 = its 5 planted copies, LSH recall on them is exactly 1,
+    and the approximate result provably equals the brute-force SQL
+    oracle. Max natural pairwise cosine in the corpus is ~0.51, far
+    below the tie at 1.0.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qsrc = emb.filter(F.col("vec_id") < 8)
+
+    def scaled(s: float):
+        # closure, NOT a two-arg lambda: transform passes (elem, index)
+        # to binary lambdas, which would silently rebind a default arg
+        return F.transform("embedding", lambda x: x * F.lit(s)).alias("embedding")
+
+    base = emb
+    for j, s in enumerate(_ANN_SCALES):
+        base = base.unionByName(
+            qsrc.select((F.lit(20000 + j) + F.col("vec_id") * 5).alias("vec_id"), scaled(s))
+        )
+    return base
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (scale path; rows-only check)."""
+    """LSH-bucketed approximate top-k (scale path), oracle-checked
+    against the brute-force SQL twin via planted scaled copies."""
     from crawler_spark.operators.similarity import cosine_topk_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8).select(
+    base = _ann_base(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = cosine_topk_lsh(emb, queries, k=5, n_planes=8, n_tables=4)
+    out = cosine_topk_lsh(base, queries, k=5, n_planes=8, n_tables=4)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
 
 
@@ -487,10 +535,16 @@ def q_export_csv_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload -> typed features via
-    mapInPandas (decode, phash, mean RGB, grayscale std). Payload bytes
-    are synthesized deterministically from doc ids since the driver
-    tables carry no binary columns (rows-only check)."""
-    from crawler_spark.functions.payload import make_fetch_parse_udf
+    mapInPandas (decode, mean RGB, grayscale std; phash rides inside
+    the operator and is pinned in tests/test_multimodal.py).
+
+    Payload bytes are synthesized from doc ids with the
+    SQL-reproducible gradient generator (payload.pixels_gradient), so
+    a DuckDB oracle regenerates the exact pixels with generate_series
+    and re-derives the features — the full binary round-trip
+    (encode -> Arrow -> decode -> numpy features) is oracle-checked.
+    """
+    from crawler_spark.functions.payload import make_fetch_parse_udf, pixels_gradient
     from crawler_spark.operators.multimodal import image_features
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
@@ -499,12 +553,19 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(32).alias("h"),
         F.lit("raw").alias("fmt"),
     )
-    fetch = make_fetch_parse_udf(store_bytes=True, validate=False)
+    fetch = make_fetch_parse_udf(store_bytes=True, validate=False, pixel_fn=pixels_gradient)
     with_bytes = docs.withColumn(
         "bytes", fetch("image_id", "w", "h", "fmt")["bytes"]
     )
     return image_features(with_bytes).select(
-        "image_id", "w", "h", "phash", "std_gray", "decode_ok"
+        "image_id",
+        "w",
+        "h",
+        F.round(F.col("mean_rgb")[0], 6).alias("mean_r"),
+        F.round(F.col("mean_rgb")[1], 6).alias("mean_g"),
+        F.round(F.col("mean_rgb")[2], 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        F.col("decode_ok").cast("long").alias("decode_ok"),
     )
 
 
@@ -863,6 +924,69 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= DATE '2000-09-02' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
-        # minhash_lsh, simhash, cosine_topk_lsh, embedding_near_dup,
-        # crawl_lineage: non-SQL-expressible (hash/UDF/stateful) -> rows-only.
+        "minhash_lsh": (
+            # exact all-pairs Jaccard >= 0.9 over the planted-dup base:
+            # LSH recall on these pairs is 1 (planted pairs share every
+            # band; the verify step is exact), so LSH == exact twin.
+            f"WITH base AS ({_DUP_BASE_SQL}), "
+            "tok AS (SELECT doc_id AS id, "
+            "        regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM base), "
+            "sh AS (SELECT id, list_distinct(CASE WHEN len(t) >= 3 "
+            "       THEN list_transform(generate_series(1, len(t) - 2), "
+            "            i -> array_to_string(t[i:i+2], ' ')) "
+            "       ELSE [array_to_string(t, ' ')] END) AS shingles FROM tok), "
+            "ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh), "
+            "inter AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, "
+            "          count(*) AS i FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id "
+            "          GROUP BY 1, 2, 3, 4) "
+            "SELECT id_a, id_b, round(i::DOUBLE / (n_a + n_b - i), 6) AS jaccard "
+            "FROM inter WHERE i::DOUBLE / (n_a + n_b - i) >= 0.9"
+        ),
+        "simhash": (
+            # identical texts -> identical fingerprints -> hamming 0
+            f"WITH base AS ({_DUP_BASE_SQL}) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming "
+            "FROM base a JOIN base b ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
+        "cosine_topk_lsh": (
+            # brute-force exact top-k over embeddings ∪ scaled copies;
+            # the 5 copies tie at cosine 1.0 >> max natural 0.51, so
+            # the approximate result equals this exact ranking.
+            "WITH sc(j, s) AS (VALUES (0, 2.0), (1, 4.0), (2, 8.0), (3, 16.0), (4, 32.0)), "
+            "base AS ("
+            "  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+            "  UNION ALL "
+            "  SELECT 20000 + sc.j + vec_id * 5, "
+            "         list_transform(embedding::DOUBLE[], x -> x * sc.s) "
+            "  FROM embeddings, sc WHERE vec_id < 8), "
+            "q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 8), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            "  round(list_dot_product(e.v, q.qv) / "
+            "        (sqrt(list_dot_product(e.v, e.v)) * "
+            "         sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
+            "  FROM base e, q WHERE e.vec_id != q.qid) "
+            "SELECT query_id, rank, neighbor_id, cosine FROM ("
+            "  SELECT *, row_number() OVER ("
+            "    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
+            "WHERE rank <= 5"
+        ),
+        "image_features": (
+            # regenerate the gradient pixels with generate_series and
+            # re-derive mean RGB + grayscale population std.
+            "WITH ids AS (SELECT doc_id AS s, 'img_' || doc_id AS image_id "
+            "             FROM documents WHERE doc_id < 64), "
+            "px AS (SELECT image_id, "
+            "  ((s     + x * (s % 5 + 1) + y * (s % 7 + 2) + (x * y) % 7)  % 256) AS r, "
+            "  ((2 * s + x * (s % 5 + 1) + y * (s % 7 + 2) + (x * y) % 11) % 256) AS g, "
+            "  ((3 * s + x * (s % 5 + 1) + y * (s % 7 + 2) + (x * y) % 13) % 256) AS b "
+            "  FROM ids, generate_series(0, 31) AS gx(x), generate_series(0, 31) AS gy(y)) "
+            "SELECT image_id, 32::INT AS w, 32::INT AS h, "
+            "  round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g, "
+            "  round(avg(b), 6) AS mean_b, "
+            "  round(stddev_pop(0.299 * r + 0.587 * g + 0.114 * b), 6) AS std_gray, "
+            "  1::BIGINT AS decode_ok "
+            "FROM px GROUP BY image_id"
+        ),
+        # crawl_lineage: non-SQL-expressible (stateful multi-round
+        # engine over a generated corpus) -> rows-only.
     }

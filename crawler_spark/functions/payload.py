@@ -54,6 +54,27 @@ def pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
     return ((noise.astype(np.uint16) + grad[..., None]) // 2).astype(np.uint8)
 
 
+def pixels_gradient(image_id: str, w: int, h: int) -> np.ndarray:
+    """SQL-reproducible deterministic test pattern.
+
+    Unlike pixels_for (PCG64 noise — not expressible in SQL), every
+    channel here is integer arithmetic on (x, y, id-seed) mod 256, so
+    a DuckDB oracle can regenerate the exact pixels with
+    generate_series and verify the decode/feature UDF path end-to-end
+    (see __spark_entry__.q_image_features). The (x*y) % k term makes
+    the image non-separable so DCT-based features stay non-trivial.
+    """
+    s = int(str(image_id).rsplit("_", 1)[-1])
+    xx = np.arange(w, dtype=np.int64)[None, :]
+    yy = np.arange(h, dtype=np.int64)[:, None]
+    base = xx * (s % 5 + 1) + yy * (s % 7 + 2)
+    xy = xx * yy
+    r = (s + base + xy % 7) % 256
+    g = (2 * s + base + xy % 11) % 256
+    b = (3 * s + base + xy % 13) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
 def encode_payload(pixels: np.ndarray, fmt: str = "raw") -> bytes:
     if fmt == "raw":
         return pixels.tobytes()
@@ -159,8 +180,12 @@ FETCH_PARSE_SCHEMA = StructType(
 )
 
 
-def make_fetch_parse_udf(store_bytes: bool = True, validate: bool = True):
+def make_fetch_parse_udf(store_bytes: bool = True, validate: bool = True, pixel_fn=None):
     """Fused fetch+decode+validate UDF: one Arrow pass per batch.
+
+    ``pixel_fn`` selects the synthetic ground-truth generator
+    (default pixels_for; pixels_gradient gives the SQL-reproducible
+    pattern used by the DuckDB feature oracle).
 
     Fusing matters at scale: payload bytes are the widest column in
     the pipeline (KB-MB per row); two chained pandas UDFs would ship
@@ -175,6 +200,8 @@ def make_fetch_parse_udf(store_bytes: bool = True, validate: bool = True):
     to compare with, so throughput runs turn it off.
     """
 
+    gen = pixel_fn or pixels_for
+
     @F.pandas_udf(FETCH_PARSE_SCHEMA)
     def fetch_parse(
         image_id: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series
@@ -185,13 +212,13 @@ def make_fetch_parse_udf(store_bytes: bool = True, validate: bool = True):
         psnrs: list[float | None] = []
         for iid, ww, hh, ff in zip(image_id, w, h, fmt):
             try:
-                data = encode_payload(pixels_for(iid, int(ww), int(hh)), ff)
+                data = encode_payload(gen(iid, int(ww), int(hh)), ff)
                 px = decode_payload(data, int(ww), int(hh), ff)
                 byts.append(data if store_bytes else None)
                 phashes.append(phash64(px))
                 oks.append(True)
                 if validate:
-                    p = psnr(px, pixels_for(iid, int(ww), int(hh)))
+                    p = psnr(px, gen(iid, int(ww), int(hh)))
                     psnrs.append(p if np.isfinite(p) else 99.0)
                 else:
                     psnrs.append(None)

@@ -5,13 +5,17 @@ oracle twin), LSH random-hyperplane bucketing as the scale path —
 at 10^10 vectors brute force is O(N·Q); hyperplane buckets cut the
 candidate set to one bucket (plus multiprobe neighbors) per query.
 
-All arithmetic is native Spark (zip_with/aggregate, JVM codegen) in
-double precision so the oracle can reproduce values bit-closely.
+All cosine arithmetic is native Spark (zip_with/aggregate, JVM
+codegen) in double precision so the oracle can reproduce values
+bit-closely; the hyperplane bucketing is one Arrow-batched numpy
+matmul per batch (make_bucket_udf) with the plane matrix regenerated
+deterministically on each executor — never inlined into the plan.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,20 +71,48 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
-    """Deterministic random hyperplanes (driver-side constants)."""
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes, (n_planes, dim) float64.
+
+    Seed-keyed PCG64: every executor regenerates the identical matrix,
+    so the planes never need to enter the query plan (round 1 inlined
+    n_planes x dim float literals per table into the expression tree —
+    ~8k literals at dim=512, a plan-compile blowup at real dims).
+    """
     rng = np.random.Generator(np.random.PCG64(seed))
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Sign-bit signature of a vector against the hyperplanes -> int."""
-    bucket = F.lit(0).cast("long")
-    for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(vec_col, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket * 2 + bit
-    return bucket
+def make_bucket_udf(n_planes: int, n_tables: int = 1, seed: int = 42):
+    """array<long> of per-table hyperplane sign buckets, one Arrow UDF.
+
+    One numpy matmul per batch against the stacked (tables x planes,
+    dim) matrix; the matrix is built lazily per vector dimension on the
+    executor (deterministic from the seed), so callers never run a
+    driver-side .first() to discover dim. Bucket bit order is
+    MSB-first over planes — self-consistent across embedding and query
+    sides, which is all bucket equality needs.
+    """
+    plane_cache: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = V.shape[1]
+        M = plane_cache.get(dim)
+        if M is None:
+            M = np.concatenate(
+                [hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)]
+            )
+            plane_cache[dim] = M
+        signs = (V @ M.T) >= 0  # (batch, tables*planes)
+        pw = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+        ids = signs.reshape(len(V), n_tables, n_planes).astype(np.int64) @ pw
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def cosine_topk_lsh(
@@ -103,35 +135,37 @@ def cosine_topk_lsh(
     1-(1-p^planes)^tables). At cluster scale the embeddings side is
     written bucketed by (table, bucket) so each probe is a
     partition-pruned scan, not a full pass.
-    """
-    if dim is None:
-        dim = len(queries.select(query_vec_col).first()[0])
 
-    def bucket_array(col):
-        return F.array(
-            *[
-                lsh_bucket(col, hyperplanes(dim, n_planes, seed=42 + t))
-                for t in range(n_tables)
-            ]
-        )
+    ``dim`` is accepted for API compatibility but unused: the bucket
+    UDF discovers the dimension from the data executor-side, so no
+    driver action runs here.
+    """
+    bucketize = make_bucket_udf(n_planes, n_tables, seed=42)
 
     emb_b = embeddings.select(
-        id_col, vec_col, F.posexplode(bucket_array(F.col(vec_col))).alias("table", "bucket")
+        id_col, vec_col, F.posexplode(bucketize(F.col(vec_col))).alias("table", "bucket")
     )
     q_b = queries.select(
         query_id_col,
         query_vec_col,
-        F.posexplode(bucket_array(F.col(query_vec_col))).alias("table", "bucket"),
+        F.posexplode(bucketize(F.col(query_vec_col))).alias("table", "bucket"),
     )
-    joined = (
-        emb_b.join(F.broadcast(q_b), on=["table", "bucket"])
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .dropDuplicates([query_id_col, id_col])
+    # Score in the map stage of the bucket join, BEFORE deduplicating
+    # across tables: a candidate colliding in several tables scores
+    # identically each time, so the dedup is a groupBy(max) over bare
+    # (query, neighbor, cosine) scalars — the only shuffle in the
+    # query moves 3 narrow columns, never the vectors.
+    joined = emb_b.join(F.broadcast(q_b), on=["table", "bucket"]).filter(
+        F.col(id_col) != F.col(query_id_col)
     )
-    scored = joined.select(
-        F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    scored = (
+        joined.select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        )
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -156,11 +190,10 @@ def embedding_near_dup_pairs(
     duplicates (cosine ~ 1) collide with high probability since the
     hyperplane sign pattern flips with prob acos(sim)/pi per plane.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes)
+    bucketize = make_bucket_udf(n_planes, n_tables=1, seed=42)
     b = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    ).withColumn("bucket", bucketize(F.col("v"))[0])
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(

@@ -73,7 +73,7 @@ def test_minhash_lsh_matches_exact_jaccard_at_high_threshold(docs):
 
 def test_simhash_near_dup(docs):
     df, expected = docs
-    sh = {r["doc_id"]: r["sh"] for r in df.select("doc_id", dd.simhash64("text").alias("sh")).collect()}
+    sh = {r["id"]: r["sh"] for r in dd.simhash_fingerprints(df).collect()}
     # identical texts -> identical simhash
     pairs = {(r["id_a"], r["id_b"]) for r in dd.simhash_near_dup_pairs(df, max_hamming=3).collect()}
     assert expected["exact"] <= pairs
