@@ -153,3 +153,90 @@ def cuckoo_maybe_contains(fps: np.ndarray, buf: bytes) -> np.ndarray:
     """Probe-side twin of seen.bloom_maybe_contains for the broadcast
     prefilter path: same signature, cuckoo semantics."""
     return CuckooFilter.from_bytes(buf).contains_many(fps)
+
+
+def build_filter(fps: np.ndarray, min_slots: int = 1 << 13) -> CuckooFilter:
+    """Build a filter sized for ``fps``, doubling slots until every key
+    inserts.
+
+    This is the rebuild path for a bucket whose fixed-capacity filter
+    overflowed: a failed insert_many means newly-seen fingerprints
+    were silently missing, and because the prefilter's negatives
+    bypass the exact anti-join, those URLs would be re-fetched every
+    round — the one failure mode a no-false-negative prefilter must
+    never have.
+    """
+    fps = np.asarray(fps, dtype=np.int64)
+    # ~90% load factor ceiling before kicks start failing
+    need = 1 << max(0, int(np.ceil(np.log2(max(1, len(fps)) / (0.9 * 4)))))
+    n_slots = max(min_slots, need)
+    while True:
+        cf = CuckooFilter(n_slots=n_slots)
+        if cf.insert_many(fps) == len(fps):
+            return cf
+        n_slots *= 2
+
+
+def update_cuckoos(cuckoo_df, new_seen):
+    """Cogroup twin of seen.update_blooms for cuckoo sidecars.
+
+    Inserts each bucket's new fingerprints into its serialized filter
+    partition-side; a bucket that overflows is flagged
+    (``needs_rebuild=1``) so the engine can rebuild it from the exact
+    seen table (the filter stores only 16-bit fingerprints, so a
+    bigger table cannot be rehashed from the filter itself).
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from crawler_spark.operators.seen import BLOOM_SCHEMA
+
+    out_schema = StructType(
+        [*BLOOM_SCHEMA.fields, StructField("needs_rebuild", IntegerType(), False)]
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            out = left[["host_hash", "bitmap"]].copy()
+            out["needs_rebuild"] = 0
+            return out
+        hh = int(right["host_hash"].iloc[0])
+        cf = (
+            CuckooFilter.from_bytes(bytes(left["bitmap"].iloc[0]))
+            if not left.empty
+            else CuckooFilter()
+        )
+        fps = right["fp"].to_numpy()
+        ok = cf.insert_many(fps)
+        return pd.DataFrame(
+            {
+                "host_hash": [hh],
+                "bitmap": [cf.to_bytes()],
+                "needs_rebuild": [int(ok < len(fps))],
+            }
+        )
+
+    return (
+        cuckoo_df.groupBy("host_hash")
+        .cogroup(new_seen.select("host_hash", "fp").groupBy("host_hash"))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def build_cuckoos(seen_fps):
+    """groupBy(host_hash).applyInPandas rebuild of whole buckets from
+    the exact seen fingerprints (used for overflowed buckets)."""
+    import pandas as pd
+
+    from crawler_spark.operators.seen import BLOOM_SCHEMA
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hh = int(pdf["host_hash"].iloc[0])
+        cf = build_filter(pdf["fp"].to_numpy())
+        return pd.DataFrame({"host_hash": [hh], "bitmap": [cf.to_bytes()]})
+
+    return (
+        seen_fps.select("host_hash", "fp").groupBy("host_hash").applyInPandas(
+            build, schema=BLOOM_SCHEMA
+        )
+    )

@@ -86,6 +86,7 @@ class CrawlEngine:
     bloom_mode: str = "broadcast"
     _matcher: object = field(default=None, repr=False)
     _bloom_bitmaps: dict | None = field(default=None, repr=False)
+    _bloom_bc: object = field(default=None, repr=False)
     _id_base: dict | None = field(default=None, repr=False)
 
     # ------------------------------------------------------------ tables
@@ -185,32 +186,88 @@ class CrawlEngine:
             self._bloom_bitmaps = {int(r["host_hash"]): bytes(r["bitmap"]) for r in rows}
         return self._bloom_bitmaps
 
-    def _commit_bloom(self, new_seen) -> None:
-        """Fold a round's stored fingerprints into the bloom sidecar.
+    def _broadcast_fits(self) -> bool:
+        """Auto-fallback guard: the driver-held blob fold + broadcast
+        probe is only used while the sidecar fits
+        seen.BROADCAST_BLOOM_MAX_BYTES; past it (cluster scale: 10^10
+        URLs ≈ GBs of filter), the co-partitioned cogroup path keeps
+        every bucket's blob on its own partition and off the driver.
 
-        broadcast mode: the per-round insert set is collected (16 B/row)
-        and folded on the driver, then snapshotted for resume — no
-        Python cogroup stage. cogroup mode (cluster scale): bitmaps
-        never leave their host_hash partition.
+        When the blobs are not already driver-resident the size check
+        is a Spark aggregate — never a collect of something that might
+        be the very thing that's too big to collect.
+        """
+        if self._bloom_bitmaps is not None:
+            total = sum(len(b) for b in self._bloom_bitmaps.values())
+        else:
+            row = (
+                self.catalog.read(self._sidecar_table(), seen_ops.BLOOM_SCHEMA)
+                .select(F.sum(F.length("bitmap")))
+                .first()
+            )
+            total = int(row[0] or 0)
+        return total <= seen_ops.BROADCAST_BLOOM_MAX_BYTES
+
+    def _bloom_broadcast(self):
+        """One live broadcast of the blob dict, reused across rounds and
+        unpersisted whenever the bitmaps change (a fresh broadcast per
+        round would accumulate executor copies unboundedly)."""
+        if self._bloom_bc is None:
+            self._bloom_bc = self.spark.sparkContext.broadcast(self._bitmaps())
+        return self._bloom_bc
+
+    def _invalidate_bloom_broadcast(self) -> None:
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist(blocking=False)
+            self._bloom_bc = None
+
+    def _commit_bloom(self, new_seen) -> None:
+        """Fold a round's stored fingerprints into the filter sidecar.
+
+        broadcast mode (and cuckoo, while the blobs fit
+        BROADCAST_BLOOM_MAX_BYTES): the per-round insert set is
+        collected (16 B/row) and folded on the driver, then
+        snapshotted for resume. A cuckoo bucket whose fixed capacity
+        overflows is rebuilt from the exact seen table with doubled
+        slots — a silently-failed insert would otherwise turn into a
+        false NEGATIVE, and prefilter negatives bypass the exact
+        anti-join (the one invariant the bypass depends on).
+
+        Past the size cutoff, or in explicit cogroup mode, the fold is
+        a co-partitioned cogroup and the blobs never visit the driver;
+        overflowed cuckoo buckets come back flagged and are rebuilt
+        partition-side from the seen table.
         """
         import numpy as np
 
-        if self.bloom_mode in ("broadcast", "cuckoo"):
+        if self.bloom_mode in ("broadcast", "cuckoo") and self._broadcast_fits():
             blobs = dict(self._bitmaps())
             rows = new_seen.select("host_hash", "fp").collect()
             by_bucket: dict[int, list[int]] = {}
             for row in rows:
                 by_bucket.setdefault(int(row["host_hash"]), []).append(row["fp"])
             if self.bloom_mode == "cuckoo":
-                from crawler_spark.operators.cuckoo import CuckooFilter
+                from crawler_spark.operators.cuckoo import CuckooFilter, build_filter
 
                 for hh, fps in by_bucket.items():
+                    arr = np.asarray(fps, dtype=np.int64)
                     cf = (
                         CuckooFilter.from_bytes(blobs[hh])
                         if hh in blobs
                         else CuckooFilter()
                     )
-                    cf.insert_many(np.asarray(fps, dtype=np.int64))
+                    if cf.insert_many(arr) < len(arr):
+                        all_fps = np.asarray(
+                            [
+                                r["fp"]
+                                for r in self.seen()
+                                .filter(F.col("host_hash") == hh)
+                                .select("fp")
+                                .collect()
+                            ],
+                            dtype=np.int64,
+                        )
+                        cf = build_filter(all_fps, min_slots=cf.n_slots * 2)
                     blobs[hh] = cf.to_bytes()
             else:
                 for hh, fps in by_bucket.items():
@@ -218,13 +275,32 @@ class CrawlEngine:
                         np.asarray(fps, dtype=np.int64), blobs.get(hh)
                     )
             self._bloom_bitmaps = blobs
+            self._invalidate_bloom_broadcast()
             self.catalog.overwrite(
                 self._sidecar_table(),
                 self.spark.createDataFrame(
                     [(hh, bmp) for hh, bmp in blobs.items()], seen_ops.BLOOM_SCHEMA
                 ).coalesce(1),
             )
+        elif self.bloom_mode == "cuckoo":
+            from crawler_spark.operators.cuckoo import build_cuckoos, update_cuckoos
+
+            sidecar = self.catalog.read(self._sidecar_table(), seen_ops.BLOOM_SCHEMA)
+            merged = update_cuckoos(sidecar, new_seen).cache()
+            flagged = merged.filter(F.col("needs_rebuild") == 1).select("host_hash")
+            kept = merged.filter(F.col("needs_rebuild") == 0).drop("needs_rebuild")
+            rebuilt = build_cuckoos(
+                self.seen().join(F.broadcast(flagged), on="host_hash", how="left_semi")
+            )
+            self._bloom_bitmaps = None
+            self._invalidate_bloom_broadcast()
+            self.catalog.overwrite(
+                self._sidecar_table(), kept.unionByName(rebuilt)
+            )
+            merged.unpersist()
         else:
+            self._bloom_bitmaps = None
+            self._invalidate_bloom_broadcast()
             bloom = self.catalog.read("seen_bloom", seen_ops.BLOOM_SCHEMA)
             self.catalog.overwrite("seen_bloom", seen_ops.update_blooms(bloom, new_seen))
 
@@ -272,7 +348,7 @@ class CrawlEngine:
         # src/harvester.py:133-177).
         if not self.use_bloom:
             unseen = seen_ops.filter_unseen(eligible, seen)
-        elif self.bloom_mode in ("broadcast", "cuckoo"):
+        elif self.bloom_mode in ("broadcast", "cuckoo") and self._broadcast_fits():
             probe_fn = None
             if self.bloom_mode == "cuckoo":
                 from crawler_spark.operators.cuckoo import cuckoo_maybe_contains
@@ -281,13 +357,20 @@ class CrawlEngine:
             unseen = seen_ops.filter_unseen(
                 eligible,
                 seen,
-                bloom_bitmaps=self._bitmaps(),
                 spark=self.spark,
                 probe_fn=probe_fn,
+                bloom_bc=self._bloom_broadcast(),
             )
         else:
-            bloom = self.catalog.read("seen_bloom", seen_ops.BLOOM_SCHEMA)
-            unseen = seen_ops.filter_unseen(eligible, seen, bloom)
+            # cogroup path: explicit mode, or broadcast/cuckoo blobs
+            # grown past BROADCAST_BLOOM_MAX_BYTES (auto-fallback)
+            probe_fn = None
+            if self.bloom_mode == "cuckoo":
+                from crawler_spark.operators.cuckoo import cuckoo_maybe_contains
+
+                probe_fn = cuckoo_maybe_contains
+            bloom = self.catalog.read(self._sidecar_table(), seen_ops.BLOOM_SCHEMA)
+            unseen = seen_ops.filter_unseen(eligible, seen, bloom, probe_fn=probe_fn)
         admitted, leftover, admit_handle = politeness.admit_split(
             unseen, self.robots_rules, self.round_duration, self.n_salt
         )
@@ -311,12 +394,22 @@ class CrawlEngine:
         routed = routing.route(routing.effective_status(fetched)).cache()
 
         # ---- stored pages: materialize payload, decode+validate, match.
+        # The url anti-join against the pages table runs BEFORE id
+        # assignment: a replayed half-round (crash between the pages
+        # and seen commits) or a prefilter false negative re-admits
+        # URLs the table already holds, and assigning ids first would
+        # leave permanent per-portal id gaps plus bridge rows whose
+        # page_id never exists. Filtering first keeps the id sequence
+        # dense over the rows that actually land (the AUTOINCREMENT
+        # contract) and makes the commit a plain append.
         # The payload stage is the widest data in the pipeline (bytes
         # per row), so parallelism is forced to the core budget here —
         # upstream stages are narrow and AQE rightly coalesces them,
         # which would otherwise starve the decode of executors.
-        stored = routed.filter(F.col("outcome") == routing.OUT_STORE).repartition(
-            self.spark.sparkContext.defaultParallelism, "fp"
+        stored = (
+            routed.filter(F.col("outcome") == routing.OUT_STORE)
+            .join(self.pages().select("url"), on="url", how="left_anti")
+            .repartition(self.spark.sparkContext.defaultParallelism, "fp")
         )
         fetch_parse = make_fetch_parse_udf(
             store_bytes=self.store_payload, validate=self.validate_payload
@@ -457,13 +550,18 @@ class CrawlEngine:
                         (F.col("depth") + 1) * 1000 - F.least(F.col("kscore"), F.lit(999))
                     ).cast("int").alias("priority"),
                 )
-                # multiple parents may discover the same url: keep the
-                # best (lowest) priority — first-discovery-wins analog
+                # multiple parents may discover the same url: the
+                # best-(priority, depth, portal) parent wins as ONE
+                # struct min — deterministic even when parents from
+                # different portals tie on priority (F.first here would
+                # pick per partition order, a nondeterminism trap)
                 .groupBy("url")
-                .agg(
-                    F.min("priority").alias("priority"),
-                    F.min("depth").alias("depth"),
-                    F.first("portal").alias("portal"),
+                .agg(F.min(F.struct("priority", "depth", "portal")).alias("_best"))
+                .select(
+                    "url",
+                    F.col("_best.priority").alias("priority"),
+                    F.col("_best.depth").alias("depth"),
+                    F.col("_best.portal").alias("portal"),
                 )
             )
             children = (
@@ -481,9 +579,10 @@ class CrawlEngine:
             new_frontier = new_frontier.unionByName(children)
 
         # ---- commit (order: pages, bridge, seen, bloom, lineage, frontier;
-        # merge_insert on pages makes a replayed half-round idempotent).
+        # the pre-id url anti-join above makes a replayed half-round
+        # idempotent, so pages is a plain append of guaranteed-new rows).
         mark("plan")
-        self.catalog.merge_insert("pages", new_pages, key="url", schema=schemas.PAGES)
+        self.catalog.append("pages", new_pages)
         mark("pages")
         self.catalog.append("bridge", new_bridge)
         mark("bridge")
@@ -501,15 +600,20 @@ class CrawlEngine:
         self.catalog.overwrite("frontier", new_frontier, properties={"round": r + 1})
         mark("frontier")
 
-        by_outcome_portal = routed.groupBy("outcome", "portal").agg(
-            F.count("*").alias("n")
-        ).collect()
-        counts: dict[str, int] = {}
+        by_outcome = routed.groupBy("outcome").agg(F.count("*").alias("n")).collect()
+        counts: dict[str, int] = {r["outcome"]: r["n"] for r in by_outcome}
+        n_scheduled = sum(counts.values())
+        # Advance id bases by the rows that actually landed (new_pages
+        # is post-anti-join and cached): counting routed OUT_STORE rows
+        # here would drift the bases whenever the url guard drops a
+        # re-admitted duplicate, permanently gapping the id sequence.
+        inserted = new_pages.groupBy("portal").agg(F.count("*").alias("n")).collect()
         bases = self._portal_id_bases()
-        for row in by_outcome_portal:
-            counts[row["outcome"]] = counts.get(row["outcome"], 0) + row["n"]
-            if row["outcome"] == routing.OUT_STORE:
-                bases[row["portal"]] = bases.get(row["portal"], 0) + row["n"]
+        n_inserted = 0
+        for row in inserted:
+            bases[row["portal"]] = bases.get(row["portal"], 0) + row["n"]
+            n_inserted += row["n"]
+        counts[routing.OUT_STORE] = n_inserted
         mark("counts")
         if timing:
             spans = ", ".join(
@@ -523,7 +627,7 @@ class CrawlEngine:
         new_pages.unpersist()
         return {
             "round": r,
-            "scheduled": sum(counts.values()),
+            "scheduled": n_scheduled,
             "stored": counts.get(routing.OUT_STORE, 0),
             "retried": counts.get(routing.OUT_RETRY, 0),
             "dropped": counts.get(routing.OUT_DROP, 0),
@@ -537,9 +641,18 @@ class CrawlEngine:
         the seen table and — in cuckoo mode — DELETEs their
         fingerprints from the sidecar in place; bloom sidecars are
         append-only, so there the sidecar is rebuilt from the remaining
-        seen rows. ``drop_pages`` also removes the stored rows so the
-        re-fetch stores a fresh copy (it gets a new id: append order,
-        like a fresh harvest).
+        seen rows. ``drop_pages`` also removes the stored rows AND
+        their bridge rows (keyword counts over the bridge must not
+        keep counting a dropped id, and the re-crawled copy gets a
+        fresh id with fresh matches — append order, like a fresh
+        harvest).
+
+        With ``drop_pages=False`` the page row is intentionally kept
+        authoritative: the re-fetch is admitted (lineage/metrics see
+        it) but the url-guarded pages append discards the duplicate
+        row, so content is NOT refreshed and no bridge rows double up.
+        Use drop_pages=True when the point of the re-crawl is fresh
+        content.
 
         ``urls``: DataFrame with a ``url`` column, or list of strings.
         Returns the number of URLs actually expired.
@@ -576,6 +689,7 @@ class CrawlEngine:
                         cf.delete(int(fp))
                     blobs[hh] = cf.to_bytes()
                 self._bloom_bitmaps = blobs
+                self._invalidate_bloom_broadcast()
                 self.catalog.overwrite(
                     self._sidecar_table(),
                     self.spark.createDataFrame(
@@ -592,6 +706,7 @@ class CrawlEngine:
                 for hh, fps in by_bucket.items():
                     blobs[hh] = seen_ops.bloom_build(np.asarray(fps, dtype=np.int64))
                 self._bloom_bitmaps = blobs
+                self._invalidate_bloom_broadcast()
                 self.catalog.overwrite(
                     self._sidecar_table(),
                     self.spark.createDataFrame(
@@ -600,6 +715,17 @@ class CrawlEngine:
                 )
         if drop_pages:
             pages = self.pages()
+            # bridge rows keyed by the dropped ids must go with them:
+            # keyword counts over the bridge would otherwise keep
+            # counting the dropped copy AND the re-crawled one.
+            dropped_ids = pages.join(urls, on="url", how="left_semi").select(
+                F.col("id").alias("page_id"), "portal"
+            )
+            bridge = self.catalog.read("bridge", schemas.BRIDGE)
+            self.catalog.overwrite(
+                "bridge",
+                bridge.join(dropped_ids, on=["page_id", "portal"], how="left_anti"),
+            )
             self.catalog.overwrite(
                 "pages", pages.join(urls, on="url", how="left_anti")
             )

@@ -32,8 +32,19 @@ from pyspark.sql import functions as F
 ORDER_COLS = ["priority", "sitemap_seq", "loc_seq", "url"]
 
 
+DEFAULT_RPM = 1.0  # conservative budget for hosts with no robots entry
+DEFAULT_RETRY_TIMEOUT_MIN = 5
+
+
 def with_tokens(df_with_host: DataFrame, robots: DataFrame, round_duration: float) -> DataFrame:
-    """Broadcast-join the per-host token budget onto frontier rows."""
+    """Broadcast-join the per-host token budget onto frontier rows.
+
+    LEFT join: hosts outside the robots table (in-page-discovered
+    outlinks, streamed seeds) must not silently vanish from the crawl
+    — they get a conservative default budget (DEFAULT_RPM req/min)
+    instead. An inner join here would delete them from both admitted
+    and leftover, i.e. from the frontier entirely.
+    """
     budget = robots.select(
         "host",
         F.greatest(
@@ -45,7 +56,16 @@ def with_tokens(df_with_host: DataFrame, robots: DataFrame, round_duration: floa
         "tokens",
         F.greatest(F.lit(1), F.floor(F.lit(round_duration) / F.col("crawl_delay"))).cast("int"),
     )
-    return df_with_host.join(F.broadcast(budget), on="host", how="inner")
+    default_tokens = max(1, int(round_duration / (60.0 / DEFAULT_RPM)))
+    return (
+        df_with_host.join(F.broadcast(budget), on="host", how="left")
+        .withColumn("crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(60.0 / DEFAULT_RPM)))
+        .withColumn("tokens", F.coalesce(F.col("tokens"), F.lit(default_tokens).cast("int")))
+        .withColumn(
+            "retry_timeout_min",
+            F.coalesce(F.col("retry_timeout_min"), F.lit(DEFAULT_RETRY_TIMEOUT_MIN).cast("int")),
+        )
+    )
 
 
 def admit(

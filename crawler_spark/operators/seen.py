@@ -85,12 +85,18 @@ def update_blooms(bloom_df: DataFrame, new_seen: DataFrame) -> DataFrame:
     )
 
 
-def prefilter_unseen(frontier: DataFrame, bloom_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def prefilter_unseen(
+    frontier: DataFrame, bloom_df: DataFrame, probe_fn=None
+) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (definitely_unseen, maybe_seen) via the bloom.
 
     Only ``maybe_seen`` needs the exact anti-join. Buckets with no
     bloom yet are conservatively routed to the exact join.
+    ``probe_fn(fps, blob) -> bool array`` selects the filter family
+    (default bloom; cuckoo sidecars pass cuckoo_maybe_contains).
     """
+    if probe_fn is None:
+        probe_fn = bloom_maybe_contains
     cols = frontier.columns
     out_schema = StructType(frontier.schema.fields + [StructField("maybe_seen", IntegerType(), False)])
 
@@ -101,7 +107,7 @@ def prefilter_unseen(frontier: DataFrame, bloom_df: DataFrame) -> tuple[DataFram
             left = left.copy()
             left["maybe_seen"] = 0
             return left
-        mask = bloom_maybe_contains(left["fp"].to_numpy(), bytes(right["bitmap"].iloc[0]))
+        mask = probe_fn(left["fp"].to_numpy(), bytes(right["bitmap"].iloc[0]))
         left = left.copy()
         left["maybe_seen"] = mask.astype(np.int32)
         return left
@@ -127,7 +133,7 @@ BROADCAST_BLOOM_MAX_BYTES = 256 * 1024 * 1024
 
 
 def prefilter_unseen_broadcast(
-    frontier: DataFrame, bitmaps: dict[int, bytes], spark, probe_fn=None
+    frontier: DataFrame, bitmaps: dict[int, bytes] | None, spark, probe_fn=None, bc=None
 ) -> tuple[DataFrame, DataFrame]:
     """Split frontier via driver-broadcast per-bucket filter blobs.
 
@@ -136,10 +142,17 @@ def prefilter_unseen_broadcast(
     ``probe_fn(fps, blob) -> bool array`` selects the filter family:
     default is the bloom probe; pass
     ``operators.cuckoo.cuckoo_maybe_contains`` for cuckoo sidecars.
+
+    Pass ``bc`` (an existing Broadcast of the blob dict) to reuse one
+    broadcast across rounds — creating a fresh broadcast per call and
+    never unpersisting it accumulates unbounded driver/executor
+    memory over a long crawl. The caller owns the handle's lifecycle
+    (unpersist when the bitmaps change).
     """
     if probe_fn is None:
         probe_fn = bloom_maybe_contains
-    bc = spark.sparkContext.broadcast(bitmaps)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(bitmaps)
 
     @F.pandas_udf("int")
     def probe(host_hash: pd.Series, fp: pd.Series) -> pd.Series:
@@ -169,6 +182,7 @@ def filter_unseen(
     bloom_bitmaps: dict[int, bytes] | None = None,
     spark=None,
     probe_fn=None,
+    bloom_bc=None,
 ) -> DataFrame:
     """Rows of ``frontier`` whose (fp, url) is not in ``seen``.
 
@@ -177,12 +191,12 @@ def filter_unseen(
     is a prefilter only — exactness always comes from the anti-join.
     """
     seen_keys = seen.select("fp", "url")
-    if bloom_bitmaps is not None and spark is not None:
+    if (bloom_bitmaps is not None or bloom_bc is not None) and spark is not None:
         definite, maybe = prefilter_unseen_broadcast(
-            frontier, bloom_bitmaps, spark, probe_fn
+            frontier, bloom_bitmaps, spark, probe_fn, bc=bloom_bc
         )
     elif bloom_df is not None:
-        definite, maybe = prefilter_unseen(frontier, bloom_df)
+        definite, maybe = prefilter_unseen(frontier, bloom_df, probe_fn)
     else:
         return frontier.join(seen_keys, on=["fp", "url"], how="left_anti")
     checked = maybe.join(seen_keys, on=["fp", "url"], how="left_anti")
