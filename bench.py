@@ -302,9 +302,10 @@ def main() -> None:
 
     total = round(sum(query_secs.values()) + crawl["secs"], 2)
     result = {
-        "metric": "frontier URLs scheduled+fetched/sec (sum over bench suite below)",
-        "value": total,
-        "unit": "sec",
+        "metric": "frontier URLs scheduled+fetched/sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "suite_total_sec": total,
         "queries": query_secs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": crawl,

@@ -111,6 +111,61 @@ def export_csv(pages: DataFrame, bridge: DataFrame, keywords: DataFrame, out_pat
     return df
 
 
+def xml_escape_text(col):
+    """ET-equivalent escaping for XML text content: & < > (& first)."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def xml_escape_attr(col):
+    """ET-equivalent escaping for XML attribute values: also double
+    quotes (ET serializes attributes in double quotes,
+    src/advert_exporter.py:794-805 uses element.set which escapes)."""
+    return F.replace(xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
+
+
+def build_xml_doc(
+    id_col="id",
+    title_col="caption",
+    company_col=None,
+    location_col=None,
+    url_col="url",
+    accessed_col="round",
+    description_col="caption",
+):
+    """The reference's <text> element (src/advert_exporter.py:794-811)
+    as one native string expression: attributes ID/position/company/
+    location/URL/accessed in ET insertion order, description as text
+    content, everything escaped, XML declaration included (minidom
+    toprettyxml emits one). Missing company/location surface as empty
+    attributes exactly like the reference's ``company or ""``; the
+    graft's payload has no company/location fields, so callers leave
+    the defaults (None -> empty). ``description_col`` doubles as the
+    backfill hook: pass a coalesce() of the stored description and a
+    re-derived one (src/advert_exporter.py:753-764 re-extracts from
+    html_body when NULL).
+    """
+
+    def attr(c):
+        return xml_escape_attr(F.coalesce(c.cast("string"), F.lit("")))
+
+    company = F.col(company_col) if company_col else F.lit("")
+    location = F.col(location_col) if location_col else F.lit("")
+    return F.concat(
+        F.lit('<?xml version="1.0" encoding="utf-8"?>\n'),
+        F.lit('<text ID="'), attr(F.col(id_col)),
+        F.lit('" position="'), attr(F.col(title_col)),
+        F.lit('" company="'), attr(company),
+        F.lit('" location="'), attr(location),
+        F.lit('" URL="'), attr(F.col(url_col)),
+        F.lit('" accessed="'), attr(F.col(accessed_col)),
+        F.lit('">'),
+        xml_escape_text(F.coalesce(F.col(description_col), F.lit(""))),
+        F.lit("</text>"),
+    )
+
+
 def export_files(
     labeled: DataFrame,
     out_dir: str,
@@ -119,18 +174,19 @@ def export_files(
     """O-10/O-12: one document per page under <cat1>/<cat2>/ paths.
 
     The reference writes one OS file per ad in a Python loop
-    (src/advert_exporter.py:277-473); here the same tree is one
-    partitioned write: partitionBy(cat1, cat2), each row carrying its
-    own <text> element built with native string expressions (no UDF,
-    whole-stage codegen; src/advert_exporter.py:794-811 equivalent).
+    (src/advert_exporter.py:277-473 HTML, 658-846 XML); here the same
+    tree is one partitioned write: partitionBy(cat1, cat2), each row
+    carrying its own escaped <text> element built with native string
+    expressions (no UDF, whole-stage codegen). For byte-faithful
+    one-file-per-ad output (and the filename write-back relative
+    paths) use :func:`export_files_fs`.
     """
-    doc = F.concat(
-        F.lit('<text ID="'), F.col("filename"),
-        F.lit('" position="'), F.coalesce(F.col("caption"), F.lit("")),
-        F.lit('" URL="'), F.col("url"),
-        F.lit('" accessed="'), F.col("round").cast("string"),
-        F.lit('">'), F.coalesce(F.col("caption"), F.lit("")), F.lit("</text>"),
-    )
+    if fmt == "xml":
+        doc = build_xml_doc()
+    else:
+        # html export writes the raw payload body; the graft's body is
+        # the caption text (html_body analog)
+        doc = F.coalesce(F.col("caption"), F.lit(""))
     out = labeled.withColumn("doc", doc).select("cat1", "cat2", "filename", "doc")
     if out_dir:
         # text source allows a single data column; the filename rides
@@ -145,6 +201,133 @@ def export_files(
             .save(out_dir)
         )
     return out
+
+
+def export_files_fs(labeled: DataFrame, out_dir: str, fmt: str = "xml") -> DataFrame:
+    """Reference-faithful sink: ONE file per ad at
+    ``out_dir/<cat1>[/<cat2>]/<portal>_<id:05d>.<fmt>`` plus the
+    relative path for the filename write-back
+    (src/advert_exporter.py:385-405).
+
+    Files are written from executors via foreachPartition — correct on
+    a shared filesystem (NFS/Fuse mounts, local mode). At cluster
+    scale one-file-per-row is deliberately the fidelity path, not the
+    throughput path: the partitioned write in :func:`export_files`
+    stays O(partitions) files.
+
+    Returns (url, rel_path) for write_back_filenames.
+    """
+    import os
+
+    doc = build_xml_doc() if fmt == "xml" else F.coalesce(F.col("caption"), F.lit(""))
+    rel = F.concat_ws(
+        "/", F.col("cat1"), F.col("cat2"), F.col("filename")
+    )  # concat_ws skips NULL cat2
+    rows = labeled.withColumn("doc", doc).withColumn("rel_path", rel).select(
+        "url", "rel_path", "doc"
+    )
+
+    def write_partition(it):
+        for r in it:
+            path = os.path.join(out_dir, r["rel_path"])
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(r["doc"])
+                if not r["doc"].endswith("\n"):
+                    f.write("\n")
+
+    rows.foreachPartition(write_partition)
+    return rows.select("url", F.col("rel_path").alias("filename"))
+
+
+CSV_FIELDNAMES = [
+    "job_title",
+    "company_name",
+    "location",
+    "harvest_date",
+    "url",
+    "portal",
+    "related_keywords",
+    "filename",
+]
+
+
+def csv_rows_for_export(
+    labeled: DataFrame,
+    bridge: DataFrame,
+    keywords: DataFrame,
+    filename_col: str = "filename",
+) -> DataFrame:
+    """The per-ad metadata row the directory CSVs carry
+    (src/advert_exporter.py:423-433): 8 CSV fields + cat1/cat2/id.
+
+    portal is the URL netloc exactly as the reference computes it for
+    these rows (urlparse(url).netloc, src/advert_exporter.py:429) —
+    NOT the ad_type-derived portal name used for filenames.
+    """
+    df = with_keyword_titles(labeled, bridge, keywords)
+    return df.select(
+        F.coalesce(F.col("caption"), F.lit("")).alias("job_title"),
+        F.lit("").alias("company_name"),
+        F.lit("").alias("location"),
+        F.col("round").cast("string").alias("harvest_date"),
+        "url",
+        F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit("")).alias("portal"),
+        "related_keywords",
+        F.col(filename_col).alias("filename"),
+        "cat1",
+        "cat2",
+        "id",
+    )
+
+
+def write_directory_csvs(csv_rows: DataFrame, out_dir: str) -> DataFrame:
+    """O-11, the user-visible artifact: an ``advertisements.csv`` in the
+    leaf directory AND every ancestor including the root, each holding
+    the metadata rows of every ad exported at or below it
+    (src/advert_exporter.py:407-514).
+
+    ``csv_rows`` must carry the 8 CSV fields plus cat1/cat2/id. The
+    dir->rows relation is the prefix explode of (root, cat1,
+    cat1/cat2) — the relational ROLLUP whose counts rollup_counts()
+    computes; each group writes its file executor-side in id order
+    (the reference iterates ORDER BY id).
+
+    Returns (dir, n_rows) for verification.
+    """
+    import csv as _csv
+    import os
+
+    import pandas as pd
+
+    dirs = F.array_compact(
+        F.array(
+            F.lit(""),
+            F.col("cat1"),
+            F.when(
+                F.col("cat2").isNotNull(),
+                F.concat_ws("/", F.col("cat1"), F.col("cat2")),
+            ),
+        )
+    )
+    exploded = csv_rows.withColumn("dir", F.explode(dirs))
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["dir"].iloc[0]
+        pdf = pdf.sort_values("id")
+        path = os.path.join(out_dir, d, "advertisements.csv")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w", newline="", encoding="utf-8") as f:
+            w = _csv.DictWriter(f, fieldnames=CSV_FIELDNAMES)
+            w.writeheader()
+            for _, r in pdf.iterrows():
+                w.writerow({k: ("" if pd.isna(r[k]) else r[k]) for k in CSV_FIELDNAMES})
+        return pd.DataFrame({"dir": [d], "n_rows": [len(pdf)]})
+
+    return (
+        exploded.groupBy("dir")
+        .applyInPandas(write_group, schema="dir string, n_rows long")
+    )
 
 
 def category_counts(labeled: DataFrame) -> DataFrame:
