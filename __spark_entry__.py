@@ -331,10 +331,19 @@ def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs (exact, shingle self-join)."""
+    """n-gram Jaccard near-dup pairs (exact, shingle self-join).
+
+    Runs on a deterministic half of the corpus (doc_id % 2 = 0, which
+    contains every planted near-dup): the all-pairs-sharing-a-shingle
+    join is the GROUND-TRUTH twin, deliberately not the scale path —
+    its cost grows with sum(shingle_count^2), so the exact check runs
+    on a sample while minhash_lsh covers the full corpus. The oracle
+    SQL applies the identical sample.
+    """
     from crawler_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_neardup_base(spark, sf_dir), n=3, threshold=0.6)
+    base = _neardup_base(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    return ngram_jaccard_pairs(base, n=3, threshold=0.6)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,7 +385,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.operators.similarity import cosine_topk_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8).select(
+    queries = emb.filter(F.col("vec_id") < _ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = cosine_topk_bruteforce(emb, queries, k=5)
@@ -384,6 +393,33 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_SCALES = [2.0, 4.0, 8.0, 16.0, 32.0]  # powers of 2: scaling is FP-exact
+
+# Enough queries that brute force O(N x Q) visibly loses to the ANN
+# paths' O(N + candidates) — at Q=8 a full scan of the test corpus is
+# trivially fast and the comparison says nothing.
+_ANN_N_QUERIES = 64
+
+# Brute-force exact top-k over embeddings ∪ scaled copies — the shared
+# oracle for every ANN variant (LSH, IVF): planted copies pin recall.
+_ANN_ORACLE_SQL = (
+    "WITH sc(j, s) AS (VALUES (0, 2.0), (1, 4.0), (2, 8.0), (3, 16.0), (4, 32.0)), "
+    "base AS ("
+    "  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+    "  UNION ALL "
+    "  SELECT 20000 + sc.j + vec_id * 5, "
+    "         list_transform(embedding::DOUBLE[], x -> x * sc.s) "
+    "  FROM embeddings, sc WHERE vec_id < 64), "
+    "q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 64), "
+    "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+    "  round(list_dot_product(e.v, q.qv) / "
+    "        (sqrt(list_dot_product(e.v, e.v)) * "
+    "         sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
+    "  FROM base e, q WHERE e.vec_id != q.qid) "
+    "SELECT query_id, rank, neighbor_id, cosine FROM ("
+    "  SELECT *, row_number() OVER ("
+    "    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
+    "WHERE rank <= 5"
+)
 
 
 def _ann_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,7 +435,7 @@ def _ann_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    qsrc = emb.filter(F.col("vec_id") < 8)
+    qsrc = emb.filter(F.col("vec_id") < _ANN_N_QUERIES)
 
     def scaled(s: float):
         # closure, NOT a two-arg lambda: transform passes (elem, index)
@@ -414,16 +450,45 @@ def _ann_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base
 
 
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8 query vectors straight from the raw table (identical to
+    _ann_base.filter(vec_id < _ANN_N_QUERIES) but without re-evaluating the union)."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _ANN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("query_vec"),
+        )
+    )
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (scale path), oracle-checked
     against the brute-force SQL twin via planted scaled copies."""
     from crawler_spark.operators.similarity import cosine_topk_lsh
 
     base = _ann_base(spark, sf_dir)
-    queries = base.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    out = cosine_topk_lsh(base, queries, k=5, n_planes=8, n_tables=4)
+    # queries = the original query vectors; reading them from
+    # the raw table (not base.filter) avoids re-evaluating the 6-way
+    # union on the (broadcast) query side of the bucket join
+    queries = _ann_queries(spark, sf_dir)
+    out = cosine_topk_lsh(base, queries, k=5, n_planes=6, n_tables=2)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
+
+
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(-Flat) approximate top-k: spherical-kmeans coarse quantizer,
+    nearest-cell assignment, n_probe-cell probes. Oracle-checked
+    against the brute-force SQL twin: cell assignment is
+    scale-invariant, so each query's 5 planted scaled copies share its
+    top probe cell and IVF recall on the true top-5 is exactly 1.
+    """
+    from crawler_spark.operators.similarity import cosine_topk_ivf
+
+    base = _ann_base(spark, sf_dir)
+    queries = _ann_queries(spark, sf_dir)
+    out = cosine_topk_ivf(base, queries, k=5, n_cells=16, n_probe=4)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
 
 
@@ -698,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "sitemap_parse": q_sitemap_parse,
         "id_range_scan": q_id_range_scan,
@@ -843,7 +909,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id != keep"
         ),
         "ngram_jaccard": (
-            f"WITH base AS ({_NEARDUP_BASE_SQL}), "
+            f"WITH base AS (SELECT * FROM ({_NEARDUP_BASE_SQL}) WHERE doc_id % 2 = 0), "
             "tok AS (SELECT doc_id AS id, "
             "        regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM base), "
             "sh AS (SELECT id, list_distinct(CASE WHEN len(t) >= 3 "
@@ -859,7 +925,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv "
-            "           FROM embeddings WHERE vec_id < 8), "
+            "           FROM embeddings WHERE vec_id < 64), "
             "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
             "  round(list_dot_product(e.embedding::DOUBLE[], q.qv) / "
             "        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
@@ -948,28 +1014,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming "
             "FROM base a JOIN base b ON a.text = b.text AND a.doc_id < b.doc_id"
         ),
-        "cosine_topk_lsh": (
-            # brute-force exact top-k over embeddings ∪ scaled copies;
-            # the 5 copies tie at cosine 1.0 >> max natural 0.51, so
-            # the approximate result equals this exact ranking.
-            "WITH sc(j, s) AS (VALUES (0, 2.0), (1, 4.0), (2, 8.0), (3, 16.0), (4, 32.0)), "
-            "base AS ("
-            "  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
-            "  UNION ALL "
-            "  SELECT 20000 + sc.j + vec_id * 5, "
-            "         list_transform(embedding::DOUBLE[], x -> x * sc.s) "
-            "  FROM embeddings, sc WHERE vec_id < 8), "
-            "q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 8), "
-            "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
-            "  round(list_dot_product(e.v, q.qv) / "
-            "        (sqrt(list_dot_product(e.v, e.v)) * "
-            "         sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
-            "  FROM base e, q WHERE e.vec_id != q.qid) "
-            "SELECT query_id, rank, neighbor_id, cosine FROM ("
-            "  SELECT *, row_number() OVER ("
-            "    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
-            "WHERE rank <= 5"
-        ),
+        # brute-force exact top-k over embeddings ∪ scaled copies; the
+        # 5 copies tie at cosine 1.0 >> max natural 0.51, so both the
+        # LSH and the IVF approximate results equal this exact ranking.
+        "cosine_topk_lsh": _ANN_ORACLE_SQL,
+        "cosine_topk_ivf": _ANN_ORACLE_SQL,
         "image_features": (
             # regenerate the gradient pixels with generate_series and
             # re-derive mean RGB + grayscale population std.

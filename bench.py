@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_topk",
     "cosine_topk_lsh",
+    "cosine_topk_ivf",
     "embedding_near_dup",
     "semi_join",
     "events_rollup",

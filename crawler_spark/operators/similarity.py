@@ -177,6 +177,122 @@ def cosine_topk_lsh(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a deterministic
+    driver-side sample (IVF training is a sample-based driver/offline
+    step in practice — FAISS trains on a subsample too). Returns
+    L2-normalized centroids (n_cells, dim).
+
+    The sample is orderBy(id).limit(sample) so training is
+    reproducible across runs and executors.
+    """
+    rows = (
+        embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
+
+
+def make_cell_udf(centroids: np.ndarray, n_probe: int = 1):
+    """array<long> of the ``n_probe`` nearest centroid cells by cosine,
+    one Arrow matmul per batch (the IVF assignment/probe step).
+
+    Assignment is scale-invariant for positive scalings (argmax of the
+    normalized dot), so a scaled copy of a vector always lands in the
+    same cell — the property the oracle's planted copies rely on.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<long>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = Vn @ C.T  # (batch, n_cells)
+        k = min(n_probe, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k].astype(np.int64)
+        return pd.Series(list(top))
+
+    return cells
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: each vector lives in its nearest-centroid
+    cell; a query scans only its ``n_probe`` nearest cells.
+
+    The cluster-scale story: the embeddings side is written
+    partitioned/bucketed by ``cell``, so each probe is a
+    partition-pruned scan of n_probe/n_cells of the data instead of a
+    full pass — candidates shrink by the same factor. Recall/latency
+    trades on (n_cells, n_probe) exactly like FAISS IVF-Flat.
+
+    Same shuffle discipline as the LSH path: cosine is computed in the
+    map stage of the broadcast cell join; only (query, neighbor,
+    cosine) scalars reach the dedup aggregation and the top-k window.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    assign = make_cell_udf(centroids, n_probe=1)
+    probe = make_cell_udf(centroids, n_probe=n_probe)
+
+    emb_c = embeddings.select(id_col, vec_col, F.explode(assign(F.col(vec_col))).alias("cell"))
+    q_c = queries.select(
+        query_id_col, query_vec_col, F.explode(probe(F.col(query_vec_col))).alias("cell")
+    )
+    joined = emb_c.join(F.broadcast(q_c), on="cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = (
+        joined.select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        )
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -65,6 +65,39 @@ def test_lsh_ann_recall(emb, queries):
             assert abs(r["cosine"] - exact_scores[key]) < 1e-9
 
 
+def test_ivf_ann_recall(emb, queries):
+    exact = sim.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = sim.cosine_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # near-uniform random vectors are the ANN worst case; probing half
+    # the cells still recovers most true neighbors deterministically
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6
+    # scores of returned candidates are true cosines, not estimates
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 1e-9
+
+
+def test_ivf_scaled_copy_assignment_invariant(spark, emb):
+    """A positively-scaled copy must land in the same cell — the
+    property the driver oracle's planted copies rely on."""
+    import numpy as np
+
+    C = sim.train_ivf_centroids(emb, n_cells=8)
+    assign = sim.make_cell_udf(C, n_probe=1)
+    doubled = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    a = {r["vec_id"]: r["c"] for r in emb.select("vec_id", assign(F.col("embedding"))[0].alias("c")).collect()}
+    b = {r["vec_id"]: r["c"] for r in doubled.select("vec_id", assign(F.col("embedding"))[0].alias("c")).collect()}
+    assert a == b
+
+
 def test_embedding_near_dup_pairs(spark, emb):
     # plant a near-identical vector of vec_id 0
     first = emb.orderBy("vec_id").first()
