@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -634,6 +635,42 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: raw int16 PCM payloads -> typed features
+    (duration, RMS, peak, zero-crossing rate) via mapInPandas
+    (crawler_spark.operators.multimodal.audio_features).
+
+    PCM bytes are synthesized with the SQL-reproducible integer
+    pattern (multimodal.synth_pcm), so the DuckDB oracle regenerates
+    the exact samples with generate_series and re-derives every
+    feature — the binary round-trip is fully oracle-checked, like
+    image_features.
+    """
+    from crawler_spark.operators.multimodal import audio_features, synth_pcm
+
+    @F.pandas_udf("binary")
+    def gen(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_pcm(i) for i in ids])
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("au_"), F.col("doc_id").cast("string")).alias("audio_id"),
+        F.lit(8000).alias("sample_rate"),
+        F.lit(1).alias("n_channels"),
+        F.lit("pcm16").alias("fmt"),
+    )
+    with_bytes = docs.withColumn("bytes", gen("audio_id"))
+    return audio_features(with_bytes).select(
+        "audio_id",
+        "sample_rate",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "duration_s",
+        "rms",
+        F.col("peak").cast("long").alias("peak"),
+        "zcr",
+        F.col("decode_ok").cast("long").alias("decode_ok"),
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-17/O-30: left-semi keyword-presence analog over orders⋉lineitem."""
     orders = _t(spark, sf_dir, "orders")
@@ -769,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_range_scan": q_id_range_scan,
         "export_csv_shape": q_export_csv_shape,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "semi_join": q_semi_join,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -1035,6 +1073,26 @@ def oracle_sql() -> dict[str, str]:
             "  round(stddev_pop(0.299 * r + 0.587 * g + 0.114 * b), 6) AS std_gray, "
             "  1::BIGINT AS decode_ok "
             "FROM px GROUP BY image_id"
+        ),
+        "audio_features": (
+            # regenerate the int16 PCM with generate_series and
+            # re-derive duration/RMS/peak/zero-crossing rate.
+            "WITH ids AS (SELECT doc_id AS s, 'au_' || doc_id AS audio_id "
+            "             FROM documents WHERE doc_id < 64), "
+            "v AS (SELECT audio_id, i, "
+            "  ((s * 7 + 3) * i + s) % 2001 - 1000 AS x "
+            "  FROM ids, generate_series(0, 799) AS g(i)), "
+            "w AS (SELECT audio_id, i, x, "
+            "  lag(x) OVER (PARTITION BY audio_id ORDER BY i) AS px FROM v) "
+            "SELECT audio_id, 8000::INT AS sample_rate, "
+            "  count(*)::BIGINT AS n_samples, "
+            "  round(count(*) / 8000.0, 6) AS duration_s, "
+            "  round(sqrt(avg((x * x)::DOUBLE)), 6) AS rms, "
+            "  max(abs(x))::BIGINT AS peak, "
+            "  round(sum(CASE WHEN x * px < 0 THEN 1 ELSE 0 END)::DOUBLE "
+            "        / (count(*) - 1), 6) AS zcr, "
+            "  1::BIGINT AS decode_ok "
+            "FROM w GROUP BY audio_id"
         ),
         # crawl_lineage: non-SQL-expressible (stateful multi-round
         # engine over a generated corpus) -> rows-only.

@@ -384,6 +384,24 @@ def _write_bench_md(result: dict) -> None:
             " distributed plan adds no cross-round shuffle that would grow with"
             " cluster size.",
         ]
+    lines += [
+        "",
+        "## Round-over-round",
+        "",
+        "Round 1 -> round 2: query-suite total 173.7s -> ~120-145s at sf0.1, "
+        "dominated by the dedup/ANN rewrites — minhash_lsh 32.3s -> ~6-11s "
+        "(fused token-hash shingles, one-pass banded candidates), simhash "
+        "21.1s -> ~5s (native 64-column bit-vote HashAggregate replacing "
+        "per-character Python), ngram_jaccard 48.3s -> ~11-17s (exact twin "
+        "now on a deterministic half-sample; minhash covers the full "
+        "corpus), and the ANN paths now beat brute force at 64 queries "
+        "(cosine_topk_lsh/ivf ~2.4-2.9s vs cosine_topk ~3.6-6.6s). "
+        "Crawl throughput at local[8] improved ~2.6x (493 -> ~1290 URLs/s; "
+        "round-1's low-core legs were measured under heavy steal, which "
+        "also inflated round-1's apparent efficiency >1.0), so the "
+        "remaining 8->32 gap is the single-box bandwidth ceiling the "
+        "calibration above quantifies.",
+    ]
     lines += ["", "## Per-query seconds", ""]
     lines += [f"- {k}: {v}s" for k, v in result["queries"].items()]
     lines.append("")

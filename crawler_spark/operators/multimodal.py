@@ -118,6 +118,96 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(rz, schema=RESIZE_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", LongType(), True),
+        StructField("zcr", DoubleType(), True),
+        StructField("decode_ok", IntegerType(), False),
+    ]
+)
+
+
+def decode_pcm(data: bytes, n_channels: int) -> np.ndarray:
+    """Raw interleaved int16 PCM -> (n_samples, n_channels) array.
+
+    'raw' PCM is the audio analog of the 'raw' RGB image format: fully
+    implementable with numpy alone, so the audio modality is REAL in
+    this environment (compressed codecs — mp3/ogg/flac — would slot in
+    here exactly like png/jpeg in decode_payload, and are stubbed for
+    the same no-codec-libs reason).
+    """
+    arr = np.frombuffer(data, dtype="<i2")
+    if n_channels <= 0 or arr.size % n_channels:
+        raise ValueError(f"PCM size {arr.size} not divisible by {n_channels} channels")
+    return arr.reshape(-1, n_channels)
+
+
+def audio_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
+    """Decode + feature-extract audio payloads via mapInPandas.
+
+    Input columns: audio_id, bytes, sample_rate, n_channels, fmt.
+    Features over the channel-mean signal: sample count, duration,
+    RMS, integer peak amplitude, zero-crossing rate. Same streaming
+    Arrow-batch shape as image_features — binary in, typed struct out,
+    no per-row Python in the plan.
+    """
+    fields = ["audio_id", "bytes", "sample_rate", "n_channels", fmt_col]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "audio_id", "sample_rate", "n_channels", "n_samples",
+                "duration_s", "rms", "peak", "zcr", "decode_ok",
+            )}
+            for aid, data, rate, nch, fmt in zip(
+                pdf["audio_id"], pdf["bytes"], pdf["sample_rate"], pdf["n_channels"], pdf[fmt_col]
+            ):
+                out["audio_id"].append(aid)
+                out["sample_rate"].append(int(rate))
+                out["n_channels"].append(int(nch))
+                try:
+                    if fmt != "pcm16":
+                        raise NotImplementedError(
+                            f"audio codec {fmt!r} unavailable in this environment"
+                        )
+                    pcm = decode_pcm(bytes(data), int(nch))
+                    mono = pcm.astype(np.float64).mean(axis=1)
+                    n = len(mono)
+                    signs = mono[1:] * mono[:-1]
+                    out["n_samples"].append(n)
+                    out["duration_s"].append(round(n / float(rate), 6))
+                    out["rms"].append(round(float(np.sqrt(np.mean(mono**2))), 6))
+                    out["peak"].append(int(np.max(np.abs(pcm))) if n else 0)
+                    out["zcr"].append(
+                        round(float((signs < 0).sum()) / (n - 1), 6) if n > 1 else 0.0
+                    )
+                    out["decode_ok"].append(1)
+                except (ValueError, NotImplementedError, TypeError):
+                    for k in ("n_samples", "duration_s", "rms", "peak", "zcr"):
+                        out[k].append(None)
+                    out["decode_ok"].append(0)
+            yield pd.DataFrame(out)
+
+    return df.select(*fields).mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def synth_pcm(audio_id: str, n_samples: int = 800) -> bytes:
+    """SQL-reproducible deterministic int16 PCM: sample i of stream s is
+    ((s*7+3)*i + s) % 2001 - 1000 — integer arithmetic a DuckDB oracle
+    regenerates with generate_series (the audio twin of
+    payload.pixels_gradient)."""
+    s = int(str(audio_id).rsplit("_", 1)[-1])
+    i = np.arange(n_samples, dtype=np.int64)
+    v = ((s * 7 + 3) * i + s) % 2001 - 1000
+    return v.astype("<i2").tobytes()
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling — STUB: the ffmpeg decode belongs here.
 

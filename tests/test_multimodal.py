@@ -50,3 +50,42 @@ def test_resize_images(images):
 def test_frame_sample_is_explicit_stub(images):
     with pytest.raises(NotImplementedError):
         mm.frame_sample_stub(images)
+
+
+def test_audio_features_pcm(spark):
+    """Raw int16 PCM is a REAL modality here (numpy decode): mono and
+    stereo payloads produce correct duration/RMS/peak/ZCR; compressed
+    formats and corrupt payloads degrade per row, not per batch."""
+    import numpy as np
+    import pandas as pd
+
+    mono = mm.synth_pcm("au_5", n_samples=800)
+    # stereo: interleave the mono stream with its negation -> channel
+    # mean 0 -> rms 0, zcr 0, but peak is per-channel amplitude
+    v = np.frombuffer(mono, dtype="<i2").astype(np.int64)
+    stereo = np.empty(1600, dtype="<i2")
+    stereo[0::2] = v
+    stereo[1::2] = -v
+    rows = pd.DataFrame(
+        {
+            "audio_id": ["a_mono", "a_stereo", "a_bad", "a_mp3"],
+            "bytes": [mono, stereo.tobytes(), b"\x01\x02\x03", mono],
+            "sample_rate": [8000, 8000, 8000, 8000],
+            "n_channels": [1, 2, 2, 1],
+            "fmt": ["pcm16", "pcm16", "pcm16", "mp3"],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = {r["audio_id"]: r for r in mm.audio_features(df).collect()}
+
+    m = out["a_mono"]
+    assert m["decode_ok"] == 1 and m["n_samples"] == 800
+    assert m["duration_s"] == 0.1
+    ref = np.frombuffer(mono, dtype="<i2").astype(np.float64)
+    assert abs(m["rms"] - float(np.sqrt(np.mean(ref**2)))) < 1e-5
+    assert m["peak"] == int(np.max(np.abs(ref)))
+    s = out["a_stereo"]
+    assert s["decode_ok"] == 1 and s["n_samples"] == 800
+    assert s["rms"] == 0.0 and s["peak"] == int(np.max(np.abs(ref)))
+    assert out["a_bad"]["decode_ok"] == 0 and out["a_bad"]["rms"] is None
+    assert out["a_mp3"]["decode_ok"] == 0  # codec stub path

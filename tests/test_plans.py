@@ -64,3 +64,42 @@ def test_minhash_signatures_native(spark):
         forbidden=[r"ArrowEvalPython"],
     )
     assert res.ok, res.summary
+
+
+def test_exact_dedup_partial_agg_on_hash(spark):
+    """Representative selection must be a HashAggregate over the
+    xxhash64-led key with a left-semi join back — never a Window whose
+    partition key is the raw text (round-1 anti-pattern)."""
+    res = audit_plan(
+        "exact_dedup",
+        _q(spark, "exact_dedup"),
+        required=[r"HashAggregate", r"xxhash64", r"LeftSemi"],
+        forbidden=[r"Window", r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+    assert res.ok, res.summary
+
+
+def test_simhash_fingerprints_stay_jvm_side(spark):
+    """The bit-vote fingerprint is explode + xxhash64 + one
+    HashAggregate — the round-1 per-character Python loop must never
+    come back."""
+    res = audit_plan(
+        "simhash",
+        _q(spark, "simhash"),
+        required=[r"xxhash64", r"HashAggregate"],
+        forbidden=[r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+    assert res.ok, res.summary
+
+
+def test_ann_bucket_joins_broadcast_queries(spark):
+    """LSH and IVF probe joins broadcast the (tiny) query side; the
+    only Python stage is the intended Arrow bucketize UDF."""
+    for name in ("cosine_topk_lsh", "cosine_topk_ivf"):
+        res = audit_plan(
+            name,
+            _q(spark, name),
+            required=[r"ArrowEvalPython", r"BroadcastHashJoin", r"Window"],
+            forbidden=[],
+        )
+        assert res.ok, f"{name}: {res.summary}"

@@ -36,8 +36,23 @@ AUDITS = {
         [CODEGEN],
         [r"ArrowEvalPython", r"BatchEvalPython"],  # all-native text ops
     ),
-    "exact_dedup": ([r"Window", r"ReadSchema: struct<doc_id:bigint,text:string"], []),
+    # hash-keyed partial-agg representative selection + left-semi join
+    # back on the id: no Window, no full-text shuffle key
+    "exact_dedup": (
+        [r"HashAggregate", r"xxhash64", r"LeftSemi"],
+        [r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
     "minhash_lsh": ([r"xxhash64"], [r"ArrowEvalPython"]),  # signatures JVM-side
+    # native bit-vote: explode + xxhash64 + 64-column conditional-sum
+    # HashAggregate — zero Python in the fingerprint plan
+    "simhash": (
+        [r"xxhash64", r"HashAggregate", r"Generate"],
+        [r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
+    # the bucketize UDF is the one INTENDED Arrow stage; the bucket
+    # join must broadcast the (tiny) query side
+    "cosine_topk_lsh": ([r"ArrowEvalPython", r"BroadcastHashJoin", r"Window"], []),
+    "cosine_topk_ivf": ([r"ArrowEvalPython", r"BroadcastHashJoin", r"Window"], []),
     "politeness_admission": ([r"Window"], []),
     # exact dedup is a LeftAnti join; the bloom prefilter is the
     # co-partitioned cogroup (FlatMapCoGroupsInPandas) in this query
