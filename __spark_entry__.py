@@ -671,6 +671,19 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: minhash LSH pairs -> connected components
+    -> keep the min-id representative per duplicate CLUSTER. The
+    training-pipeline deliverable (cleaned corpus), oracle-checked via
+    a recursive-CTE transitive closure over the exact pair relation
+    (which minhash provably reproduces on this base, see minhash_lsh).
+    """
+    from crawler_spark.operators.dedup import near_dedup_corpus
+
+    out = near_dedup_corpus(_dup_base(spark, sf_dir), threshold=0.9)
+    return out.select("doc_id")
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-17/O-30: left-semi keyword-presence analog over orders⋉lineitem."""
     orders = _t(spark, sf_dir, "orders")
@@ -797,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_pairs": q_exact_dup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "near_dedup_corpus": q_near_dedup_corpus,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
@@ -1045,6 +1059,31 @@ def oracle_sql() -> dict[str, str]:
             "          GROUP BY 1, 2, 3, 4) "
             "SELECT id_a, id_b, round(i::DOUBLE / (n_a + n_b - i), 6) AS jaccard "
             "FROM inter WHERE i::DOUBLE / (n_a + n_b - i) >= 0.9"
+        ),
+        "near_dedup_corpus": (
+            # transitive closure (recursive CTE) over the exact >= 0.9
+            # pair relation; docs whose component root is a smaller id
+            # are the removed duplicates.
+            f"WITH RECURSIVE base AS ({_DUP_BASE_SQL}), "
+            "tok AS (SELECT doc_id AS id, "
+            "        regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM base), "
+            "sh AS (SELECT id, list_distinct(CASE WHEN len(t) >= 3 "
+            "       THEN list_transform(generate_series(1, len(t) - 2), "
+            "            i -> array_to_string(t[i:i+2], ' ')) "
+            "       ELSE [array_to_string(t, ' ')] END) AS shingles FROM tok), "
+            "ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh), "
+            "inter AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, "
+            "          count(*) AS i FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id "
+            "          GROUP BY 1, 2, 3, 4), "
+            "pairs AS (SELECT id_a, id_b FROM inter "
+            "          WHERE i::DOUBLE / (n_a + n_b - i) >= 0.9), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "          UNION SELECT id_b, id_a FROM pairs), "
+            "reach(a, b) AS (SELECT a, b FROM edges "
+            "  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+            "comp AS (SELECT a AS id, least(a, min(b)) AS root FROM reach GROUP BY a) "
+            "SELECT doc_id FROM base "
+            "WHERE doc_id NOT IN (SELECT id FROM comp WHERE root < id)"
         ),
         "simhash": (
             # identical texts -> identical fingerprints -> hamming 0

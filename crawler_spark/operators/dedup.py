@@ -335,6 +335,95 @@ def minhash_lsh_pairs(
     )
 
 
+# ------------------------------------------------------- dedup pipeline
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """(id, component) for every id in ``pairs``; component = min id
+    reachable through the pair graph.
+
+    Join-based min-label propagation: each iteration joins every
+    node's current label with its neighbors' and keeps the minimum,
+    converging in O(diameter) rounds — near-dup clusters are shallow
+    (duplicates of duplicates), so this is a handful of iterations.
+    The driver loop carries only the convergence check (one count per
+    iteration), all data stays distributed; at 10^10 scale this is the
+    standard large-star/small-star shape without the optimization,
+    which SCALE.md calls out.
+    """
+    # materialize the edge set ONCE (localCheckpoint truncates lineage):
+    # without this every iteration would re-derive the upstream pair
+    # pipeline (minhash signatures included) from scratch, and the
+    # label plan would grow by one join per iteration
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, on=[edges["dst"] == labels["id"]])
+            .select(F.col("src").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        labels = updated.select("id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_corpus(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The operator a training-data pipeline actually runs: remove
+    near-duplicates, keeping the lowest-id representative of every
+    duplicate CLUSTER (not just pairwise: A~B and B~C collapse to one
+    doc even when A~C is below threshold).
+
+    minhash LSH pairs -> connected components -> anti-join the
+    dominated ids. Everything upstream is the verified scale path;
+    the component step adds O(diameter) small self-joins over the
+    (tiny relative to the corpus) pair set.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, n=n, n_hashes=n_hashes, bands=bands, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    )
+    comp = connected_components(pairs)
+    dominated = comp.filter(F.col("id") != F.col("component")).select("id")
+    return docs.join(
+        dominated, on=[F.col(id_col) == F.col("id")], how="left_anti"
+    )
+
+
 # ------------------------------------------------------------- simhash
 
 

@@ -71,6 +71,34 @@ def test_minhash_lsh_matches_exact_jaccard_at_high_threshold(docs):
         assert pair in lsh
 
 
+def test_connected_components_chains(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dedup_corpus_collapses_clusters(spark):
+    """A~B and B~C collapse to one kept doc even when A~C alone is
+    below threshold (the cluster semantics pairwise dedup misses)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    a = " ".join(toks)
+    b = " ".join(toks[:-1] + ["changedone"])          # ~B close to A
+    c = " ".join(toks[:-2] + ["changedone", "two"])   # close to B, farther from A
+    d = "completely different words about unrelated things entirely here now"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    exact = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    kept = {r["doc_id"] for r in dd.near_dedup_corpus(docs, threshold=0.5).collect()}
+    assert kept == {1, 4}  # the whole 1-2-3 chain collapsed to doc 1
+
+
 def test_simhash_near_dup(docs):
     df, expected = docs
     sh = {r["id"]: r["sh"] for r in dd.simhash_fingerprints(df).collect()}
