@@ -84,6 +84,14 @@ class CrawlEngine:
     # broadcast path with per-bucket cuckoo filters instead of blooms
     # — same probe cost, plus DELETE for URL expiry / re-crawl.
     bloom_mode: str = "broadcast"
+    # every N rounds, rewrite the append-only tables (seen, bridge,
+    # lineage) into one snapshot: each round's append adds a file set,
+    # and a month-long crawl would otherwise read thousands of tiny
+    # parquet footers per probe. Iceberg calls this
+    # rewrite_data_files; 0 disables. pages is deliberately excluded —
+    # its payload bytes make rewrites O(corpus), which is a scheduled
+    # maintenance job at cluster scale, not a per-round side effect.
+    compact_every: int = 16
     _matcher: object = field(default=None, repr=False)
     _bloom_bitmaps: dict | None = field(default=None, repr=False)
     _bloom_bc: object = field(default=None, repr=False)
@@ -599,6 +607,14 @@ class CrawlEngine:
         mark("lineage")
         self.catalog.overwrite("frontier", new_frontier, properties={"round": r + 1})
         mark("frontier")
+        if self.compact_every and (r + 1) % self.compact_every == 0:
+            for tbl, schema in (
+                ("seen", schemas.SEEN),
+                ("bridge", schemas.BRIDGE),
+                ("lineage", schemas.LINEAGE),
+            ):
+                self.catalog.compact(tbl, schema)
+            mark("compact")
 
         by_outcome = routed.groupBy("outcome").agg(F.count("*").alias("n")).collect()
         counts: dict[str, int] = {r["outcome"]: r["n"] for r in by_outcome}

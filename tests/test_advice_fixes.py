@@ -199,3 +199,33 @@ def test_expire_seen_removes_bridge_rows(spark, fix_corpus, tmp_path_factory):
         .count()
     )
     assert orphans == 0
+
+
+def test_periodic_compaction_preserves_results(spark, fix_corpus, tmp_path_factory):
+    """compact_every rewrites seen/bridge/lineage into one snapshot
+    without changing any query result; append-only file sets stop
+    accumulating."""
+    import json
+
+    wh_a = str(tmp_path_factory.mktemp("nocompact_wh"))
+    eng_a = _mk(spark, fix_corpus, wh_a, compact_every=0)
+    eng_a.bootstrap()
+    eng_a.run(max_rounds=20)
+
+    wh_b = str(tmp_path_factory.mktemp("compact_wh"))
+    eng_b = _mk(spark, fix_corpus, wh_b, compact_every=2)
+    eng_b.bootstrap()
+    eng_b.run(max_rounds=20)
+
+    for getter in ("pages", "seen"):
+        a = {r["url"] for r in getattr(eng_a, getter)().select("url").collect()}
+        b = {r["url"] for r in getattr(eng_b, getter)().select("url").collect()}
+        assert a == b, getter
+    assert eng_a.bridge().count() == eng_b.bridge().count()
+
+    with open(f"{wh_b}/seen/_manifest.json") as f:
+        compacted_paths = json.load(f)["paths"]
+    with open(f"{wh_a}/seen/_manifest.json") as f:
+        append_paths = json.load(f)["paths"]
+    assert len(append_paths) > 1          # appends accumulate without it
+    assert len(compacted_paths) <= 2      # at most one post-compaction append
