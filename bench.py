@@ -388,7 +388,7 @@ def _write_bench_md(result: dict) -> None:
         "",
         "## Round-over-round",
         "",
-        "Round 1 -> round 2: query-suite total 173.7s -> ~120-145s at sf0.1, "
+        "Round 1 -> round 2: query-suite total 173.7s -> ~94-145s (best 93.9s) at sf0.1, "
         "dominated by the dedup/ANN rewrites — minhash_lsh 32.3s -> ~6-11s "
         "(fused token-hash shingles, one-pass banded candidates), simhash "
         "21.1s -> ~5s (native 64-column bit-vote HashAggregate replacing "
