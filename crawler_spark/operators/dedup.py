@@ -64,6 +64,23 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.join(reps, on=[F.col(id_col) == F.col("_keep")], how="left_semi")
 
 
+def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(keep, id) — every doc mapped to the min-id representative of
+    its identical-text group (keep == id for the representative row).
+
+    The membership relation the LSH pre-dedup pass expands pairs and
+    components through; same partial-agg + hash-keyed join shape as
+    exact_dup_pairs.
+    """
+    reps = _representatives(docs, text_col, id_col)
+    hashed = docs.select(F.col(id_col).alias("_mid"), F.col(text_col).alias("_mt")).withColumn(
+        "_mh", F.xxhash64(F.col("_mt"))
+    )
+    return hashed.join(
+        reps, on=[F.col("_mh") == F.col("_h"), F.col("_mt") == F.col("_rtext")]
+    ).select(F.col("_keep").alias("keep"), F.col("_mid").alias("id"))
+
+
 def exact_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(kept_id, dup_id) pairs of identical texts.
 
@@ -238,32 +255,18 @@ def hashed_shingle_sets(
     return with_u.select("id", F.array_distinct(hs).alias("hs"))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    n: int = 3,
-    n_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    verify: bool = True,
+def _lsh_banded(
+    docs: DataFrame, n: int, n_hashes: int, bands: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """MinHash + banded LSH candidate generation, exact-Jaccard verify.
+    """(id, band, bucket) — banded minhash signature buckets.
 
-    bands x rows = n_hashes; two docs collide if any band's signature
-    slice hashes equal. The bucket join shuffles on (band, bucket_hash)
-    — at 10^10 docs this is the only all-pairs-free dedup: cost is
-    O(docs x bands) + O(candidate pairs), not O(docs^2).
+    Banded explode over (id, band, bucket) ONLY: the shingles array
+    (the widest column in the pipeline) must NOT ride through the
+    xbands explode — at 16 bands that would shuffle the payload 16x.
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signature(n_hashes)
-
-    # Banded explode over (id, band, bucket) ONLY: the shingles array
-    # (the widest column in the pipeline) must NOT ride through the
-    # xbands explode — at 16 bands that would shuffle the payload 16x.
-    # Candidate pairs are bare id pairs; shingle strings are derived
-    # only for the (far smaller) candidate id set in the verify step.
-    banded = hashed_shingle_sets(docs, n, text_col, id_col).withColumn(
+    return hashed_shingle_sets(docs, n, text_col, id_col).withColumn(
         "sig", sig(F.col("hs"))
     ).select(
         "id",
@@ -288,31 +291,107 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    # Candidate generation as ONE pass: group ids per (band, bucket)
-    # and explode within-bucket pairs. A self-join would evaluate the
-    # whole signature pipeline once per side (Spark does not reuse the
-    # exchange across differently-aliased join inputs); here the
-    # signatures are computed once and the shuffle moves bare
-    # (band, bucket, id) triples.
+
+def _pair_structs(ids_col):
+    """All ordered (id_a < id_b) pairs of a sorted id array, as structs."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x: F.transform(
+                F.filter(ids_col, lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _bucket_candidates(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs from bucket co-membership.
+
+    Candidate generation as ONE pass: group ids per (band, bucket) and
+    explode within-bucket pairs. A self-join on the banded rows would
+    evaluate the whole signature pipeline once per side (Spark does not
+    reuse the exchange across differently-aliased join inputs); here
+    the signatures are computed once and the shuffle moves bare
+    (band, bucket, id) triples.
+
+    ``max_bucket`` is the degenerate-bucket guard: a bucket of N ids
+    would otherwise materialize N(N-1)/2 structs inside ONE task (a
+    boilerplate-heavy web corpus puts millions of ids in one
+    (band, bucket) row — single-task OOM). Oversized buckets are
+    chunked into ``max_bucket``-sized slices; within-chunk pairs
+    explode as before (bounded at max_bucket^2/2 structs per row) and
+    cross-chunk pairs come from a co-partitioned chunk self-join, so
+    the quadratic pair OUTPUT is spread across tasks instead of built
+    in one array. The bucket relation is localCheckpoint-ed so the
+    self-join does not re-run the signature pipeline. Pair-set output
+    is identical to the uncapped path.
+    """
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_arr = F.flatten(
+    if max_bucket is None:
+        return (
+            buckets.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    cap = int(max_bucket)
+    n_chunks = F.floor((F.size("ids") + F.lit(cap - 1)) / F.lit(cap)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.slice(F.col("ids"), i * cap + 1, cap),
+    )
+    chunked = buckets.select(
+        "band", "bucket", F.posexplode(chunks).alias("ci", "chunk")
+    ).localCheckpoint(eager=False)
+    within = chunked.select(F.explode(_pair_structs(F.col("chunk"))).alias("p")).select(
+        "p.id_a", "p.id_b"
+    )
+    # ids are sorted, chunks are consecutive slices: every id of an
+    # earlier chunk < every id of a later one, so the cross product is
+    # already (id_a < id_b)-oriented. Empty unless a bucket overflowed.
+    a, b = chunked.alias("ca"), chunked.alias("cb")
+    cross_pairs = F.flatten(
         F.transform(
-            F.col("ids"),
+            F.col("ca.chunk"),
             lambda x: F.transform(
-                F.filter(F.col("ids"), lambda y: y > x),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.col("cb.chunk"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
             ),
         )
     )
-    cands = (
-        buckets.select(F.explode(pair_arr).alias("p"))
+    cross = (
+        a.join(
+            b,
+            on=[
+                F.col("ca.band") == F.col("cb.band"),
+                F.col("ca.bucket") == F.col("cb.bucket"),
+                F.col("ca.ci") < F.col("cb.ci"),
+            ],
+        )
+        .select(F.explode(cross_pairs).alias("p"))
         .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    return within.unionByName(cross).dropDuplicates(["id_a", "id_b"])
+
+
+def _minhash_rep_pairs(
+    docs: DataFrame,
+    n: int,
+    n_hashes: int,
+    bands: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    verify: bool,
+    max_bucket: int | None,
+) -> DataFrame:
+    """LSH candidate generation (+ exact verify) over ``docs`` as-is —
+    the core pipeline minhash_lsh_pairs and near_dedup_corpus share."""
+    banded = _lsh_banded(docs, n, n_hashes, bands, text_col, id_col)
+    cands = _bucket_candidates(banded, max_bucket)
     if not verify:
         return cands
     # Exact string-level Jaccard verify, restricted to candidate ids:
@@ -335,62 +414,173 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+    pre_dedup: bool = True,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verify.
+
+    bands x rows = n_hashes; two docs collide if any band's signature
+    slice hashes equal. The bucket join shuffles on (band, bucket_hash)
+    — at 10^10 docs this is the only all-pairs-free dedup: cost is
+    O(docs x bands) + O(candidate pairs), not O(docs^2).
+
+    ``pre_dedup`` (the standard pipeline order) collapses byte-identical
+    texts to one representative BEFORE signatures: a web corpus's
+    boilerplate (error pages, templates) otherwise lands millions of
+    identical docs in one (band, bucket) row — the degenerate-bucket
+    single-task blowup. LSH runs on representatives only, and the pair
+    set is expanded back through the exact-group membership afterwards
+    (signatures depend only on the text, so a member pair qualifies iff
+    its representative pair does — the output pair set is IDENTICAL,
+    including jaccard values: identical texts have jaccard exactly 1).
+    ``max_bucket`` guards the residual case of many DISTINCT texts
+    sharing a band signature (see _bucket_candidates).
+    """
+    if not pre_dedup:
+        return _minhash_rep_pairs(
+            docs, n, n_hashes, bands, threshold, text_col, id_col, verify, max_bucket
+        )
+    # checkpoint: members is referenced by the rep filter, both
+    # expansion sides, and the within-group join — without truncation
+    # each reference re-runs the representative aggregation
+    members = exact_groups(docs, text_col, id_col).localCheckpoint(eager=False)
+    rep_docs = docs.join(
+        members.filter(F.col("keep") == F.col("id")).select("id"),
+        on=[F.col(id_col) == F.col("id")],
+        how="left_semi",
+    )
+    rep_pairs = _minhash_rep_pairs(
+        rep_docs, n, n_hashes, bands, threshold, text_col, id_col, verify, max_bucket
+    )
+    extra = [F.col("jaccard")] if verify else []
+    ma = members.select(F.col("keep").alias("_ka"), F.col("id").alias("_ia"))
+    mb = members.select(F.col("keep").alias("_kb"), F.col("id").alias("_ib"))
+    # cross-group pairs: every member of group(a) pairs with every
+    # member of group(b); identical texts inherit the rep jaccard
+    cross = (
+        rep_pairs.join(ma, on=[F.col("id_a") == F.col("_ka")])
+        .join(mb, on=[F.col("id_b") == F.col("_kb")])
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            *extra,
+        )
+    )
+    # within-group pairs: identical texts, jaccard exactly 1.0
+    within = ma.join(
+        mb, on=[F.col("_ka") == F.col("_kb"), F.col("_ia") < F.col("_ib")]
+    ).select(
+        F.col("_ia").alias("id_a"),
+        F.col("_ib").alias("id_b"),
+        *([F.lit(1.0).alias("jaccard")] if verify else []),
+    )
+    return cross.unionByName(within)
+
+
 # ------------------------------------------------------- dedup pipeline
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iters: int = 50
-) -> DataFrame:
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+    return_iterations: bool = False,
+):
     """(id, component) for every id in ``pairs``; component = min id
     reachable through the pair graph.
 
-    Join-based min-label propagation: each iteration joins every
-    node's current label with its neighbors' and keeps the minimum,
-    converging in O(diameter) rounds — near-dup clusters are shallow
-    (duplicates of duplicates), so this is a handful of iterations.
-    The driver loop carries only the convergence check (one count per
-    iteration), all data stays distributed; at 10^10 scale this is the
-    standard large-star/small-star shape without the optimization,
-    which SCALE.md calls out.
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round, large-star hooks
+    every node's LARGER neighbors onto the minimum of its neighborhood,
+    small-star hooks the smaller neighbors (and the node itself) onto
+    that minimum. Converges in O(log n) rounds on ANY topology — the
+    upgrade over plain min-label propagation, whose O(diameter) rounds
+    degrade to O(n) on chain-shaped duplicate clusters (ver-batim
+    re-posts of re-posts). Each phase is one groupBy + one join over
+    bare (long, long) edges; localCheckpoint truncates lineage so the
+    plan stays flat across iterations.
+
+    Raises a warning if the loop exhausts ``max_iters`` without
+    converging (labels would otherwise be silently non-minimal);
+    at O(log n) convergence, 50 iterations covers any practical graph.
     """
-    # materialize the edge set ONCE (localCheckpoint truncates lineage):
-    # without this every iteration would re-derive the upstream pair
-    # pipeline (minhash signatures included) from scratch, and the
-    # label plan would grow by one join per iteration
+    import warnings
+
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    prev_sig = None
+    iters = 0
+    converged = False
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, on=[edges["dst"] == labels["id"]])
-            .select(F.col("src").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("_nbr"))
+        iters += 1
+        # large-star: for each node u, m = min(N(u) ∪ {u}); emit (v, m)
+        # for the strictly-larger neighbors v > u
+        nbrs = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        updated = (
-            labels.join(neighbor_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))).alias(
-                    "new_component"
-                ),
-                "component",
-            )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least("_mv", F.col("u")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star: edges run hi -> lo; for each node u,
+        # m = min(smaller neighbors ∪ {u}); hook them (and u) onto m
+        sm = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        cand = large.select("hi", "lo").unionByName(
+            sm.select("hi", F.col("hi").alias("lo"))
+        )
+        edges = (
+            cand.join(sm, on="hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("new_component") != F.col("component")).count()
-        labels = updated.select("id", F.col("new_component").alias("component"))
-        if changed == 0:
+        # fixed point: edge multiset unchanged (count + order-free hash;
+        # a 64-bit collision faking convergence is ~2^-64 per iteration)
+        stat = edges.agg(
+            F.count("*").alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (stat["n"], stat["h"])
+        if sig == prev_sig:
+            converged = True
             break
+        prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge in {max_iters} iterations; "
+            "labels may be non-minimal",
+            stacklevel=2,
+        )
+    # converged state is a star forest: every non-root points at its root
+    labels = (
+        edges.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+        .unionByName(edges.select(F.col("lo").alias("id"), F.col("lo").alias("component")))
+        .distinct()
+    )
+    if return_iterations:
+        return labels, iters
     return labels
 
 
@@ -408,16 +598,34 @@ def near_dedup_corpus(
     duplicate CLUSTER (not just pairwise: A~B and B~C collapse to one
     doc even when A~C is below threshold).
 
-    minhash LSH pairs -> connected components -> anti-join the
-    dominated ids. Everything upstream is the verified scale path;
-    the component step adds O(diameter) small self-joins over the
-    (tiny relative to the corpus) pair set.
+    exact-dedup pre-pass -> minhash LSH pairs over representatives ->
+    connected components over (rep pairs ∪ exact-group star edges) ->
+    anti-join the dominated ids. The pre-pass (the standard pipeline
+    order) is what makes this safe on a boilerplate-heavy corpus:
+    byte-identical docs never reach the LSH stage, so the quadratic
+    pair expansion minhash_lsh_pairs would otherwise have to perform
+    for them is replaced by LINEAR star edges (keep -> member) — the
+    component structure, and therefore the kept set, is unchanged
+    (every member is connected to its representative, representatives
+    to each other exactly as their texts dictate). The component step
+    is O(log n) rounds of small self-joins over the (tiny relative to
+    the corpus) pair set.
     """
-    pairs = minhash_lsh_pairs(
-        docs, n=n, n_hashes=n_hashes, bands=bands, threshold=threshold,
-        text_col=text_col, id_col=id_col,
+    members = exact_groups(docs, text_col, id_col).localCheckpoint(eager=False)
+    rep_docs = docs.join(
+        members.filter(F.col("keep") == F.col("id")).select("id"),
+        on=[F.col(id_col) == F.col("id")],
+        how="left_semi",
     )
-    comp = connected_components(pairs)
+    rep_pairs = _minhash_rep_pairs(
+        rep_docs, n, n_hashes, bands, threshold, text_col, id_col,
+        verify=True, max_bucket=1024,
+    )
+    star = members.filter(F.col("keep") != F.col("id")).select(
+        F.col("keep").alias("id_a"), F.col("id").alias("id_b")
+    )
+    edges = rep_pairs.select("id_a", "id_b").unionByName(star)
+    comp = connected_components(edges)
     dominated = comp.filter(F.col("id") != F.col("component")).select("id")
     return docs.join(
         dominated, on=[F.col(id_col) == F.col("id")], how="left_anti"

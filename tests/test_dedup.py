@@ -71,6 +71,98 @@ def test_minhash_lsh_matches_exact_jaccard_at_high_threshold(docs):
         assert pair in lsh
 
 
+def test_bucket_cap_chunking_preserves_pairs(spark):
+    """_bucket_candidates with a cap must emit exactly the uncapped
+    pair set, just never as one giant per-bucket array."""
+    rows = [(i, 0, 7) for i in range(50)] + [(100 + i, 1, 9) for i in range(5)]
+    banded = spark.createDataFrame(rows, "id long, band int, bucket long")
+    uncapped = {
+        (r["id_a"], r["id_b"]) for r in dd._bucket_candidates(banded, None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]) for r in dd._bucket_candidates(banded, 8).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) == 50 * 49 // 2 + 5 * 4 // 2
+
+
+def test_minhash_degenerate_bucket_pre_dedup(spark):
+    """~1k byte-identical docs (the boilerplate scenario): the exact
+    pre-pass collapses them to ONE representative before LSH, so no
+    bucket array grows with the duplicate count, while the output pair
+    set still equals the exact ground truth."""
+    boiler = "server error page not found please try again later contact support team"
+    uniq = [
+        (50000 + i, f"unique document number {i} about topic{i} with words w{i} x{i} y{i} z{i}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(1000)] + uniq, "doc_id long, text string"
+    )
+    # (a) with pre-dedup, every rep-level LSH bucket holds exactly 1 id
+    members = dd.exact_groups(docs)
+    rep_docs = docs.join(
+        members.filter(F.col("keep") == F.col("id")).select("id"),
+        on=[F.col("doc_id") == F.col("id")],
+        how="left_semi",
+    )
+    banded = dd._lsh_banded(rep_docs, 3, 64, 16, "text", "doc_id")
+    max_bucket_size = (
+        banded.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket_size == 1
+    # (b) pair output unchanged vs the exact ground truth:
+    # all C(1000,2) identical pairs at jaccard 1.0, nothing else
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.9)
+    assert pairs.count() == 1000 * 999 // 2
+    assert pairs.filter(F.col("jaccard") != 1.0).count() == 0
+    assert pairs.filter((F.col("id_a") >= 1000) | (F.col("id_b") >= 1000)).count() == 0
+    # (c) the corpus-level dedup keeps exactly one of the cluster
+    kept = dd.near_dedup_corpus(docs, threshold=0.9)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {0} | {u[0] for u in uniq}
+
+
+def test_connected_components_star_logn_on_chain(spark):
+    """large-star/small-star converges in O(log n) rounds on a 1k-node
+    chain (plain min-label propagation would need ~n rounds, silently
+    truncated by max_iters)."""
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, iters = dd.connected_components(pairs, return_iterations=True)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert iters <= 25  # O(log n); propagation would take ~1000
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Random sparse graph: star CC labels equal a driver union-find."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    expected = {x: find(x) for x in nodes}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert got == expected
+
+
 def test_connected_components_chains(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
