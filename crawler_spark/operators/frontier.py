@@ -36,6 +36,8 @@ import os
 import time
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -54,6 +56,67 @@ STYLE_SITEMAP_FILTER = {
     "stepstone": r".*listings-[0-9]+.*",
     "karriere": r".*sitemap-jobs.*",
 }
+
+_RULES_RE_TYPE = "array<struct<re:string,len:int>>"
+
+
+def _rules_re_udf():
+    """Compile REP rule strings to (anchored regex, rule length) structs.
+
+    Runs ONCE per robots row (per host — dimension data), never per
+    URL: the per-URL longest-match evaluation downstream is all native
+    regexp_like over these precompiled patterns.
+    """
+    from crawler_spark.sources.sitemap_xml import rule_regex
+
+    @F.pandas_udf(_RULES_RE_TYPE)
+    def conv(rules: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if rs is None
+                else [{"re": rule_regex(r), "len": len(r)} for r in rs]
+                for rs in rules
+            ]
+        )
+
+    return conv
+
+
+def with_robots_regexes(robots_rules: DataFrame) -> DataFrame:
+    """robots_rules + precompiled allow_re/disallow_re rule structs."""
+    conv = _rules_re_udf()
+    return robots_rules.withColumn("disallow_re", conv("disallow")).withColumn(
+        "allow_re", conv(F.col("allow") if "allow" in robots_rules.columns else F.lit(None).cast("array<string>"))
+    )
+
+
+def _best_match_len(path_col, rules_re_col):
+    """max rule length over matching rules, -1 if none match — the REP
+    longest-match score, evaluated JVM-side (regexp_like over the
+    per-host precompiled patterns)."""
+    return F.aggregate(
+        F.coalesce(rules_re_col, F.array().cast(_RULES_RE_TYPE)),
+        F.lit(-1),
+        lambda acc, r: F.greatest(
+            acc, F.when(F.regexp_like(path_col, r["re"]), r["len"]).otherwise(F.lit(-1))
+        ),
+    )
+
+
+def robots_allowed(url_col, allow_re_col, disallow_re_col):
+    """Full REP admission (the reference delegates this to Protego,
+    src/harvester.py:405-410, applied per candidate URL at 1079-1083):
+    the most specific (longest) matching rule wins and Allow wins
+    length ties — so ``Disallow: /`` + ``Allow: /jobs/`` admits
+    /jobs/..., and ``*``/``$`` wildcard rules apply. Mirrors
+    sources.sitemap_xml.can_fetch exactly (path includes the query
+    string, empty path is '/')."""
+    path = F.parse_url(url_col, F.lit("PATH"))
+    query = F.parse_url(url_col, F.lit("QUERY"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    path = F.when(query.isNotNull(), F.concat(path, F.lit("?"), query)).otherwise(path)
+    return _best_match_len(path, allow_re_col) >= _best_match_len(path, disallow_re_col)
 
 
 @dataclass
@@ -120,14 +183,19 @@ class CrawlEngine:
 
         Reproduces: regex filtering of sitemap names per portal style
         (src/harvester.py:1135, 1250), skipping empty/whitespace <loc>
-        entries (src/harvester.py:1303-1307), robots disallow rules,
-        and first-occurrence dedup of URLs listed in several sitemaps
-        (the reference's seen-set makes later occurrences no-ops).
+        entries (src/harvester.py:1303-1307), full REP robots admission
+        (longest-match, Allow wins ties, * and $ wildcards — the
+        Protego semantics of src/harvester.py:405-410 / 1079-1083; see
+        robots_allowed), and first-occurrence dedup of URLs listed in
+        several sitemaps (the reference's seen-set makes later
+        occurrences no-ops).
         """
         style = F.regexp_extract(F.col("portal"), r"^([a-z]+)_", 1)
         eligible = (
-            self.robots_rules.select(
-                "portal", "disallow", F.explode("sitemap_urls").alias("sitemap_url")
+            with_robots_regexes(self.robots_rules)
+            .select(
+                "portal", "disallow_re", "allow_re",
+                F.explode("sitemap_urls").alias("sitemap_url"),
             )
             .withColumn("style", style)
             .filter(
@@ -148,12 +216,7 @@ class CrawlEngine:
             )
             .filter(F.col("url").isNotNull() & (F.trim(F.col("url")) != ""))
             .withColumn("url", F.trim(F.col("url")))
-            # robots disallow: drop URLs whose path starts with a rule
-            .withColumn("path", F.parse_url(F.col("url"), F.lit("PATH")))
-            .filter(
-                F.col("disallow").isNull()
-                | ~F.exists("disallow", lambda d: F.col("path").startswith(d))
-            )
+            .filter(robots_allowed(F.col("url"), F.col("allow_re"), F.col("disallow_re")))
         )
 
         # first-occurrence-wins dedup across sitemaps
@@ -161,7 +224,7 @@ class CrawlEngine:
         entries = (
             entries.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "path", "disallow", "style", "sitemap_url")
+            .drop("_rn", "disallow_re", "allow_re", "style", "sitemap_url")
         )
 
         return (
@@ -572,8 +635,20 @@ class CrawlEngine:
                     F.col("_best.portal").alias("portal"),
                 )
             )
+            # discovered outlinks go through the same full REP robots
+            # admission as sitemap entries (the reference evaluates
+            # can_fetch per candidate link, src/harvester.py:1079-1083);
+            # hosts without a robots entry are allowed (left join ->
+            # null rule arrays -> no rule matches)
+            rules_by_host = with_robots_regexes(self.robots_rules).select(
+                "host", "allow_re", "disallow_re"
+            )
             children = (
                 with_url_identity_native(children)
+                .join(F.broadcast(rules_by_host), on="host", how="left")
+                .filter(
+                    robots_allowed(F.col("url"), F.col("allow_re"), F.col("disallow_re"))
+                )
                 .withColumn("sitemap_seq", F.lit(0))
                 .withColumn("loc_seq", F.lit(0))
                 .withColumn("attempt", F.lit(0))

@@ -74,6 +74,10 @@ ROBOTS_RULES = StructType(
         StructField("retry_timeout_min", IntegerType(), False),
         StructField("sitemap_urls", ArrayType(StringType()), True),
         StructField("disallow", ArrayType(StringType()), True),
+        # Allow rules: REP longest-match, Allow wins length ties
+        # (Protego semantics the reference delegates to,
+        # src/harvester.py:405-410).
+        StructField("allow", ArrayType(StringType()), True),
     ]
 )
 

@@ -162,14 +162,22 @@ def parse_robots(text: str, user_agent: str = "*") -> RobotsRules:
     return chosen
 
 
+def rule_regex(rule: str) -> str:
+    """Start-anchored regex equivalent of a REP rule: ``*`` becomes
+    ``.*``, a trailing ``$`` anchors the end, everything else literal.
+    Shared by the Python can_fetch path and the engine's native
+    (regexp_like) per-URL evaluation in CrawlEngine.discover."""
+    pat = re.escape(rule).replace(r"\*", ".*")
+    if pat.endswith(r"\$"):
+        pat = pat[:-2] + "$"
+    return "^" + pat
+
+
 def _rule_matches(rule: str, path: str) -> int | None:
     """Longest-match length if ``rule`` matches ``path`` else None.
     Supports ``*`` wildcards and ``$`` end anchors per REP."""
     if "*" in rule or rule.endswith("$"):
-        pat = re.escape(rule).replace(r"\*", ".*")
-        if pat.endswith(r"\$"):
-            pat = pat[:-2] + "$"
-        if re.match(pat, path):
+        if re.match(rule_regex(rule), path):
             return len(rule)
         return None
     if path.startswith(rule):
@@ -219,12 +227,13 @@ def robots_rules_rows(
                 retry_timeout_min,
                 r.sitemaps,
                 r.disallow,
+                r.allow,
             )
         )
     return pd.DataFrame(
         rows,
         columns=[
             "host", "portal", "requests_per_minute", "robots_crawl_delay",
-            "retry_timeout_min", "sitemap_urls", "disallow",
+            "retry_timeout_min", "sitemap_urls", "disallow", "allow",
         ],
     )

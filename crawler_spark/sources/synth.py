@@ -278,12 +278,12 @@ def gen_corpus(
         smaps = sorted(
             sitemap_entries[sitemap_entries.portal == portals[hi]].sitemap_url.unique()
         )
-        rb_rows.append((hosts[hi], portals[hi], rpm, delay, retry, smaps, ["/admin/"]))
+        rb_rows.append((hosts[hi], portals[hi], rpm, delay, retry, smaps, ["/admin/"], []))
     robots_rules = pd.DataFrame(
         rb_rows,
         columns=[
             "host", "portal", "requests_per_minute", "robots_crawl_delay",
-            "retry_timeout_min", "sitemap_urls", "disallow",
+            "retry_timeout_min", "sitemap_urls", "disallow", "allow",
         ],
     )
 

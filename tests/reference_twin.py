@@ -38,8 +38,29 @@ def _style(portal: str) -> str:
 
 
 def _path_of(url: str) -> str:
-    m = re.match(r"^[a-z]+://[^/]+(/[^?#]*)?", url)
-    return m.group(1) or "/" if m else "/"
+    m = re.match(r"^[a-z]+://[^/]+(/[^?#]*)?(\?[^#]*)?", url)
+    if not m:
+        return "/"
+    return (m.group(1) or "/") + (m.group(2) or "")
+
+
+def _twin_rule_len(rule: str, path: str) -> int:
+    """REP rule match length, -1 if no match (independent twin of
+    Protego's evaluation, src/harvester.py:405-410)."""
+    if "*" in rule or rule.endswith("$"):
+        pat = re.escape(rule).replace(r"\*", ".*")
+        if pat.endswith(r"\$"):
+            pat = pat[:-2] + "$"
+        return len(rule) if re.match(pat, path) else -1
+    return len(rule) if path.startswith(rule) else -1
+
+
+def _twin_can_fetch(url: str, allow: list[str] | None, disallow: list[str] | None) -> bool:
+    """Longest matching rule wins; Allow wins length ties."""
+    path = _path_of(url)
+    best_a = max((_twin_rule_len(r, path) for r in (allow or [])), default=-1)
+    best_d = max((_twin_rule_len(r, path) for r in (disallow or [])), default=-1)
+    return best_a >= best_d
 
 
 @dataclass
@@ -87,7 +108,7 @@ def run_twin(
             if e.url is None or not isinstance(e.url, str) or e.url.strip() == "":
                 continue  # src/harvester.py:1303-1307
             u = e.url.strip()
-            if any(_path_of(u).startswith(d) for d in (r.disallow or [])):
+            if not _twin_can_fetch(u, getattr(r, "allow", None), r.disallow):
                 continue
             eligible.append((r.portal, int(e.sitemap_seq), int(e.loc_seq), u))
 
