@@ -661,14 +661,21 @@ class CrawlEngine:
             )
             new_frontier = new_frontier.unionByName(children)
 
-        # ---- commit (order: pages, bridge, seen, bloom, lineage, frontier;
+        # ---- commit (order: bridge, pages, seen, bloom, lineage, frontier;
         # the pre-id url anti-join above makes a replayed half-round
         # idempotent, so pages is a plain append of guaranteed-new rows).
+        # bridge MUST precede pages: a crash between the two then leaves
+        # bridge rows whose pages arrive on replay with identical ids
+        # (the round is deterministic given the frontier snapshot), and
+        # the re-appended duplicates collapse in the distinct() read.
+        # The reverse order would lose bridge rows silently — the replay's
+        # url anti-join empties `stored`, so the already-committed pages
+        # would permanently get no keyword matches.
         mark("plan")
-        self.catalog.append("pages", new_pages)
-        mark("pages")
         self.catalog.append("bridge", new_bridge)
         mark("bridge")
+        self.catalog.append("pages", new_pages)
+        mark("pages")
         # merge_insert (not append): a crashed run that committed seen
         # but not the frontier replays the whole round — the url-keyed
         # merge makes the replayed insert a no-op instead of doubling
