@@ -121,8 +121,14 @@ def xml_escape_text(col):
 def xml_escape_attr(col):
     """ET-equivalent escaping for XML attribute values: also double
     quotes (ET serializes attributes in double quotes,
-    src/advert_exporter.py:794-805 uses element.set which escapes)."""
-    return F.replace(xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
+    src/advert_exporter.py:794-805 uses element.set which escapes) and
+    \\r \\n \\t as character references — ET's _escape_attrib emits
+    &#13;/&#10;/&#09; so a reparse round-trips the whitespace instead
+    of normalizing it to a space."""
+    out = F.replace(xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
+    out = F.replace(out, F.lit("\r"), F.lit("&#13;"))
+    out = F.replace(out, F.lit("\n"), F.lit("&#10;"))
+    return F.replace(out, F.lit("\t"), F.lit("&#09;"))
 
 
 def build_xml_doc(
@@ -272,7 +278,9 @@ def csv_rows_for_export(
         F.lit("").alias("location"),
         F.col("round").cast("string").alias("harvest_date"),
         "url",
-        F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit("")).alias("portal"),
+        # urlparse(url).netloc keeps userinfo and port ("user@host:8080"),
+        # which parse_url(..., 'HOST') drops — extract the full authority.
+        F.regexp_extract(F.col("url"), r"^[^:/?#]+://([^/?#]*)", 1).alias("portal"),
         "related_keywords",
         F.col(filename_col).alias("filename"),
         "cat1",

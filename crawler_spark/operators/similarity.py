@@ -307,19 +307,33 @@ def embedding_near_dup_pairs(
     hyperplane sign pattern flips with prob acos(sim)/pi per plane.
     """
     bucketize = make_bucket_udf(n_planes, n_tables=1, seed=42)
-    b = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucketize(F.col("v"))[0])
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(
-            r,
+    # Candidate generation shuffles only (id, bucket) — the wide vectors
+    # never ride the self-join exchange. With one hash table each id has
+    # exactly one bucket, so candidate pairs are already distinct.
+    ids = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", bucketize(F.col("v"))[0])
+        .select("id", "bucket")
+    )
+    cand = (
+        ids.alias("l")
+        .join(
+            ids.alias("r"),
             on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")],
         )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    # Exact-verify: re-join full vectors onto the (small) candidate set,
+    # mirroring the minhash_lsh_pairs verify discipline.
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

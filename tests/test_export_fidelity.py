@@ -214,3 +214,39 @@ def test_cli_end_to_end(spark, tmp_path):
 
     rep = run_crawl.cmd_report(Namespace(**base, out=str(tmp_path / "report.csv")))
     assert rep["grand_total"] > 0
+
+def test_xml_attr_whitespace_roundtrips(spark):
+    """ADVICE round 2: \\n \\t \\r in attribute values must serialize as
+    &#10;/&#09;/&#13; (ET's _escape_attrib) so a reparse preserves the
+    exact whitespace instead of XML-normalizing it to spaces."""
+    df = spark.createDataFrame([("line one\nline\ttwo\rend",)], "caption string")
+    doc = df.select(
+        ex.xml_escape_attr(F.col("caption")).alias("attr"),
+    ).collect()[0]
+    assert doc["attr"] == "line one&#10;line&#09;two&#13;end"
+    xml = df.select(
+        F.concat(F.lit('<t v="'), ex.xml_escape_attr(F.col("caption")), F.lit('"/>')).alias("x")
+    ).collect()[0]["x"]
+    assert ET.fromstring(xml).get("v") == "line one\nline\ttwo\rend"
+
+
+def test_csv_portal_is_full_netloc(spark, keywords_df):
+    """ADVICE round 2: portal must be urlparse(url).netloc — userinfo
+    and port included (src/advert_exporter.py:429), which
+    parse_url(..., 'HOST') would drop."""
+    rows = [
+        (9, "karriere_0", "https://user@a.example.at:8080/jobs/9", "university full-time"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["id", "portal", "url", "caption"])
+    for c, v in [
+        ("fp", 0), ("http_status", 200), ("image_id", "img"), ("w", 32), ("h", 32),
+        ("fmt", "raw"), ("phash", 0), ("round", 4), ("attempt", 0),
+    ]:
+        pdf[c] = v
+    pdf["bytes"] = None
+    pdf["filename"] = None
+    pages = spark.createDataFrame(pdf[[f.name for f in schemas.PAGES.fields]], schemas.PAGES)
+    bridge9 = spark.createDataFrame([(1, 9, "karriere_0")], schemas.BRIDGE)
+    labeled = ex.with_filename(ex.label_pages(pages, FILTERS), ext="html")
+    out = ex.csv_rows_for_export(labeled, bridge9, keywords_df).collect()
+    assert [r["portal"] for r in out] == ["user@a.example.at:8080"]
