@@ -748,7 +748,10 @@ def q_crawl_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             store_payload=False,
         )
         engine.bootstrap()
-        engine.run(max_rounds=12)
+        # Run to frontier drain (engine stops early once nothing is
+        # pending) so the per-host totals equal the independent twin's
+        # full-crawl totals pinned in oracle_sql().
+        engine.run(max_rounds=200)
         out = (
             engine.lineage()
             .groupBy("host")
@@ -1133,6 +1136,24 @@ def oracle_sql() -> dict[str, str]:
             "  1::BIGINT AS decode_ok "
             "FROM w GROUP BY audio_id"
         ),
-        # crawl_lineage: non-SQL-expressible (stateful multi-round
-        # engine over a generated corpus) -> rows-only.
+        # crawl_lineage: the stateful multi-round engine has no SQL
+        # twin, but the seed=42 corpus is deterministic — the expected
+        # per-host totals are pinned as literals, computed ONCE by the
+        # independent single-process twin (tests/reference_twin.py
+        # run_twin, which re-implements the reference's harvest loop
+        # semantics, src/harvester.py:133-177,1132-1152) and asserted
+        # equal to the twin in tests/test_frontier.py
+        # test_crawl_lineage_golden. This upgrades the driver's check
+        # from rows-only to full value equality.
+        "crawl_lineage": (
+            "SELECT host, scheduled::BIGINT AS scheduled, "
+            "  stored::BIGINT AS stored, retried::BIGINT AS retried, "
+            "  dropped::BIGINT AS dropped "
+            "FROM (VALUES "
+            "  ('portal0.example.de', 158, 146, 5, 7), "
+            "  ('portal1.example.at',  73,  67, 3, 3), "
+            "  ('portal2.example.de',  46,  44, 1, 1), "
+            "  ('portal3.example.at',  33,  29, 1, 3)"
+            ") t(host, scheduled, stored, retried, dropped) ORDER BY host"
+        ),
     }

@@ -45,11 +45,21 @@ def with_tokens(df_with_host: DataFrame, robots: DataFrame, round_duration: floa
     instead. An inner join here would delete them from both admitted
     and leftover, i.e. from the frontier entirely.
     """
+    # robots_crawl_delay arrives as SQL NULL from parquet but as NaN
+    # from pandas-built robots tables; Spark's greatest() sorts NaN
+    # ABOVE every number (unlike Python max), so a bare coalesce would
+    # silently turn "no Crawl-delay line" into crawl_delay=NaN ->
+    # tokens cast to 0 -> 1 URL/host/round. nanvl first: absent means
+    # "use the rpm budget" (reference: protego crawl_delay() is None,
+    # src/harvester.py:420-434).
     budget = robots.select(
         "host",
         F.greatest(
             60.0 / F.col("requests_per_minute"),
-            F.coalesce(F.col("robots_crawl_delay"), F.lit(0.0)),
+            F.coalesce(
+                F.nanvl(F.col("robots_crawl_delay"), F.lit(None).cast("double")),
+                F.lit(0.0),
+            ),
         ).alias("crawl_delay"),
         "retry_timeout_min",
     ).withColumn(

@@ -71,6 +71,10 @@ class TwinResult:
     pages: list[dict] = field(default_factory=list)
     dropped: set[str] = field(default_factory=set)
     rounds: int = 0
+    # portal -> {"scheduled","stored","retried","dropped"} totals across
+    # rounds — the twin of the engine's per-host lineage metrics
+    # (src/harvester.py:318-326 ads/min log analog).
+    lineage: dict[str, dict] = field(default_factory=dict)
 
 
 def match_keywords_twin(caption: str | None, keyword_rows: list[tuple]) -> list[int]:
@@ -138,14 +142,19 @@ def run_twin(
         for u in urls
     }
     res.order = {p: [] for p in per_portal}
+    res.lineage = {
+        p: {"scheduled": 0, "stored": 0, "retried": 0, "dropped": 0} for p in per_portal
+    }
     rnd = 0
     while any(s["state"] == "pending" for s in state.values()) and rnd < max_rounds:
         for portal, urls in per_portal.items():
+            lin = res.lineage[portal]
             admitted = [
                 u
                 for u in urls
                 if state[u]["state"] == "pending" and state[u]["retry_round"] <= rnd
             ][: tokens[portal]]
+            lin["scheduled"] += len(admitted)
             for u in admitted:
                 st = state[u]
                 if u in seed.index:
@@ -156,6 +165,7 @@ def run_twin(
                 else:
                     status = 404
                 if status == 200:
+                    lin["stored"] += 1
                     st["state"] = "stored"
                     res.order[portal].append(u)
                     res.seen.add(u)
@@ -178,9 +188,11 @@ def run_twin(
                         }
                     )
                 elif 500 <= status <= 504 and st["attempt"] == 0:
+                    lin["retried"] += 1
                     st["attempt"] = 1
                     st["retry_round"] = rnd + retry_rounds[portal]
                 else:
+                    lin["dropped"] += 1
                     st["state"] = "dropped"
                     res.dropped.add(u)
         rnd += 1

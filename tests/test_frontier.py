@@ -218,3 +218,90 @@ def test_bloom_off_equivalence(spark, corpus_module, tmp_path_factory, twin):
     eng.run(max_rounds=50)
     got = {r["url"] for r in eng.seen().select("url").collect()}
     assert got == twin.seen
+
+def test_lineage_totals_match_twin(
+    spark, corpus_module, twin, corpus_pd_module, tmp_path_factory
+):
+    """Per-host lineage totals (scheduled/stored/retried/dropped) equal
+    the independent twin's counts — the evidence behind the
+    crawl_lineage golden pin.
+
+    Runs on a FRESH warehouse: the module-scoped ``engine`` fixture's
+    lineage table accumulates the re-scheduled drops from
+    test_rebootstrap_over_existing_warehouse_drains (re-admitted
+    not-seen URLs drop a second time), which is correct engine
+    behavior but not what a single twin run models."""
+    engine = CrawlEngine(
+        spark,
+        SnapshotCatalog(spark, str(tmp_path_factory.mktemp("lineage_wh"))),
+        seed_pages=corpus_module["seed_pages"],
+        sitemap_entries=corpus_module["sitemap_entries"],
+        robots_rules=corpus_module["robots_rules"],
+        keywords=corpus_module["keywords"],
+        round_duration=ROUND_DURATION,
+    )
+    engine.bootstrap()
+    engine.run(max_rounds=50)
+    p2h = dict(
+        corpus_pd_module["seed_pages"][["portal", "host"]]
+        .drop_duplicates()
+        .itertuples(index=False, name=None)
+    )
+    got = {
+        r["host"]: (r["scheduled"], r["stored"], r["retried"], r["dropped"])
+        for r in engine.lineage()
+        .groupBy("host")
+        .agg(
+            F.sum("scheduled").alias("scheduled"),
+            F.sum("stored").alias("stored"),
+            F.sum("retried").alias("retried"),
+            F.sum("dropped").alias("dropped"),
+        )
+        .collect()
+    }
+    want = {
+        p2h[p]: (v["scheduled"], v["stored"], v["retried"], v["dropped"])
+        for p, v in twin.lineage.items()
+        if v["scheduled"]
+    }
+    assert got == want
+
+
+# Golden pin for the driver's crawl_lineage oracle: per-host totals of
+# the q_crawl_lineage corpus (gen_corpus(n_pages=300, n_hosts=4,
+# seed=42), round_duration=3600), computed by the independent twin and
+# stored as literals BOTH here and in __spark_entry__.oracle_sql()'s
+# VALUES table. test_lineage_totals_match_twin proves engine == twin on
+# a different corpus; this proves twin == pinned literals on the oracle
+# corpus; the driver proves engine == pinned literals at gate time.
+CRAWL_LINEAGE_GOLDEN = {
+    "portal0.example.de": (158, 146, 5, 7),
+    "portal1.example.at": (73, 67, 3, 3),
+    "portal2.example.de": (46, 44, 1, 1),
+    "portal3.example.at": (33, 29, 1, 3),
+}
+
+
+def test_crawl_lineage_golden():
+    from crawler_spark.sources.synth import gen_corpus
+
+    corpus = gen_corpus(n_pages=300, n_hosts=4, seed=42)
+    twin = run_twin(corpus, round_duration=3600.0)
+    p2h = dict(
+        corpus["seed_pages"][["portal", "host"]]
+        .drop_duplicates()
+        .itertuples(index=False, name=None)
+    )
+    got = {
+        p2h[p]: (v["scheduled"], v["stored"], v["retried"], v["dropped"])
+        for p, v in twin.lineage.items()
+    }
+    assert got == CRAWL_LINEAGE_GOLDEN
+
+    # the oracle SQL literal table must pin exactly these values
+    import duckdb
+
+    import __spark_entry__ as e
+
+    rows = duckdb.sql(e.oracle_sql()["crawl_lineage"]).fetchall()
+    assert {r[0]: tuple(r[1:]) for r in rows} == CRAWL_LINEAGE_GOLDEN
