@@ -197,11 +197,13 @@ def run_crawl_throughput(spark) -> dict:
     A small warmup crawl spawns the Python UDF workers and JITs the
     hot paths first, so the measured run reflects steady-state
     throughput. The measured leg repeats SPARK_GRAFT_BENCH_REPS times
-    (default 2) and keeps the fastest — hypervisor steal bursts on
-    this shared host can eat hundreds of CPU-seconds from a single
-    run, and steal only ever slows a run down.
+    (default 3) and the headline is the MEDIAN rep by steal-adjusted
+    wall time — hypervisor steal bursts on this shared host can eat
+    hundreds of CPU-seconds from a single run and swing single
+    measurements up to 2x, so no single rep is trusted; the per-rep
+    raw numbers are kept alongside.
     """
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     _run_crawl(spark, n_pages=2000, warm=True)
     corpus = _bench_corpus(spark, CRAWL_PAGES)
@@ -217,12 +219,12 @@ def run_crawl_throughput(spark) -> dict:
         runs.append(r)
     for df in corpus.values():
         df.unpersist()
-    best = min(runs, key=lambda r: r["adj_secs"])
-    best["reps"] = [
+    median = sorted(runs, key=lambda r: r["adj_secs"])[len(runs) // 2]
+    median["reps"] = [
         {"secs": r["secs"], "adj_secs": r["adj_secs"], "steal_cpu_secs": r["steal_cpu_secs"]}
         for r in runs
     ]
-    return best
+    return median
 
 
 def main() -> None:
@@ -255,50 +257,68 @@ def main() -> None:
         query_secs[name] = round(time.time() - t0, 3)
 
     scaling = None
+    scaling_pairs = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        env = dict(os.environ, SPARK_GRAFT_CPUS="8")
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--crawl-only"],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=1800,
-                check=True,
-            )
-            low = json.loads(out.stdout.strip().splitlines()[-1])
-            ratio = crawl["urls_per_sec"] / low["urls_per_sec"]
-            adj_ratio = crawl["adj_urls_per_sec"] / low["adj_urls_per_sec"]
-            scaling = {
-                "cores_low": 8,
-                "cores_high": int(cpus) if cpus.isdigit() else os.cpu_count(),
-                "urls_per_sec_low": low["urls_per_sec"],
-                "urls_per_sec_high": crawl["urls_per_sec"],
-                "adj_urls_per_sec_low": low["adj_urls_per_sec"],
-                "adj_urls_per_sec_high": crawl["adj_urls_per_sec"],
-                "speedup": round(ratio, 3),
-                "efficiency": round(ratio / (scaling_factor(cpus)), 3),
-                "adj_speedup": round(adj_ratio, 3),
-                "adj_efficiency": round(adj_ratio / (scaling_factor(cpus)), 3),
-                "reps_low": low.get("reps"),
-                "reps_high": crawl.get("reps"),
-            }
-            cal_low = low.get("calibration")
-            cal_high = crawl.get("calibration")
-            if cal_low and cal_high:
-                cal_ratio = cal_high["imgs_per_sec"] / cal_low["imgs_per_sec"]
-                scaling.update(
-                    {
-                        "hw_ceiling_speedup": round(cal_ratio, 3),
-                        "hw_ceiling_efficiency": round(
-                            cal_ratio / scaling_factor(cpus), 3
-                        ),
-                        "efficiency_vs_hw_ceiling": round(ratio / cal_ratio, 3),
-                        "calibration_low": cal_low,
-                        "calibration_high": cal_high,
-                    }
+            # Two N-vs-4N pairs from three parallelism levels on the
+            # SAME 120k-page input: 8->32 (the BASELINE.md sandbox
+            # protocol) and 2->8 (supplementary — at 2 and 8 threads
+            # this VM's shared memory-bandwidth domain is not
+            # saturated, so the pair isolates the pipeline's own
+            # scaling from the single-box ceiling that a real
+            # 4N-executor cluster does not have).
+            legs = {int(cpus) if cpus.isdigit() else (os.cpu_count() or 32): crawl}
+            low_legs = os.environ.get("SPARK_GRAFT_SCALING_LEGS", "8,2")
+            for low in [int(x) for x in low_legs.split(",") if x.strip()]:
+                env = dict(os.environ, SPARK_GRAFT_CPUS=str(low))
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                    check=True,
                 )
-        except (subprocess.SubprocessError, ValueError, KeyError) as e:  # noqa: PERF203
+                legs[low] = json.loads(out.stdout.strip().splitlines()[-1])
+            cores_sorted = sorted(legs)
+            scaling_pairs = []
+            for c_low, c_high in zip(cores_sorted, cores_sorted[1:]):
+                low, high = legs[c_low], legs[c_high]
+                factor = c_high / c_low
+                ratio = high["urls_per_sec"] / low["urls_per_sec"]
+                adj_ratio = high["adj_urls_per_sec"] / low["adj_urls_per_sec"]
+                pair = {
+                    "cores_low": c_low,
+                    "cores_high": c_high,
+                    "urls_per_sec_low": low["urls_per_sec"],
+                    "urls_per_sec_high": high["urls_per_sec"],
+                    "adj_urls_per_sec_low": low["adj_urls_per_sec"],
+                    "adj_urls_per_sec_high": high["adj_urls_per_sec"],
+                    "speedup": round(ratio, 3),
+                    "efficiency": round(ratio / factor, 3),
+                    "adj_speedup": round(adj_ratio, 3),
+                    "adj_efficiency": round(adj_ratio / factor, 3),
+                    "reps_low": low.get("reps"),
+                    "reps_high": high.get("reps"),
+                }
+                cal_low, cal_high = low.get("calibration"), high.get("calibration")
+                if cal_low and cal_high:
+                    cal_ratio = cal_high["imgs_per_sec"] / cal_low["imgs_per_sec"]
+                    pair.update(
+                        {
+                            "hw_ceiling_speedup": round(cal_ratio, 3),
+                            "hw_ceiling_efficiency": round(cal_ratio / factor, 3),
+                            "efficiency_vs_hw_ceiling": round(adj_ratio / cal_ratio, 3),
+                            "calibration_low": cal_low,
+                            "calibration_high": cal_high,
+                        }
+                    )
+                scaling_pairs.append(pair)
+            # the 8->32 pair stays the primary `scaling` record
+            scaling = next(
+                (p for p in scaling_pairs if p["cores_low"] == 8), scaling_pairs[-1]
+            )
+        except (subprocess.SubprocessError, ValueError, KeyError, IndexError) as e:  # noqa: PERF203
             scaling = {"error": str(e)[:200]}
 
     total = round(sum(query_secs.values()) + crawl["secs"], 2)
@@ -312,6 +332,7 @@ def main() -> None:
         "crawl": crawl,
         "throughput_urls_per_sec": crawl["urls_per_sec"],
         "scaling": scaling,
+        "scaling_pairs": scaling_pairs,
         "cpus": cpus,
     }
     print(json.dumps(result))
@@ -335,38 +356,42 @@ def _write_bench_md(result: dict) -> None:
         f"({result['crawl']['scheduled']} scheduled, {result['crawl']['stored']} stored, "
         f"{result['crawl']['rounds']} rounds, {result['crawl']['secs']}s)",
     ]
-    sc = result.get("scaling")
-    if sc and "error" not in sc:
+    pairs = result.get("scaling_pairs") or (
+        [result["scaling"]] if result.get("scaling") and "error" not in result["scaling"] else []
+    )
+    if pairs:
         lines += [
             "",
             "## Scaling-efficiency evidence (BASELINE.md sandbox protocol)",
             "",
-            "| cores | URLs/sec raw | URLs/sec steal-adjusted | speedup (adj) | per-core efficiency (adj) |",
-            "|---|---|---|---|---|",
-            f"| local[8] | {sc['urls_per_sec_low']} | {sc['adj_urls_per_sec_low']} | 1.0 | 1.0 |",
-            f"| local[{sc['cores_high']}] | {sc['urls_per_sec_high']} | "
-            f"{sc['adj_urls_per_sec_high']} | {sc['adj_speedup']} | {sc['adj_efficiency']} |",
+            "Two N-vs-4N pairs over the SAME 120k-page input, each leg the",
+            "median of its reps (raw per-rep numbers in BENCH_r*.json",
+            "`scaling_pairs[*].reps_*`). Adjusted = wall time minus measured",
+            "hypervisor steal / cores.",
             "",
-            f"Efficiency = (rate_high / rate_low) / ({sc['cores_high']}/8): raw "
-            f"**{sc['efficiency']}**, steal-adjusted **{sc['adj_efficiency']}** "
-            "(north-rule target >= 0.8 from N to 4N executors). Adjusted = "
-            "wall time minus measured hypervisor steal / cores; per-rep raw "
-            "and steal numbers are in BENCH_r*.json `scaling.reps_*`.",
+            "| pair | URLs/s low (adj) | URLs/s high (adj) | speedup (adj) | per-core efficiency (adj) | hw-ceiling speedup | pipeline / ceiling |",
+            "|---|---|---|---|---|---|---|",
         ]
-        if "hw_ceiling_speedup" in sc:
-            lines += [
-                "",
-                "**Hardware-ceiling calibration**: the pure decode stage "
-                "(embarrassingly parallel Arrow/numpy, zero shuffles) achieves "
-                f"only **{sc['hw_ceiling_speedup']}x** speedup for 4x threads on "
-                f"this VM (per-core {sc['hw_ceiling_efficiency']}) — the "
-                "sandbox's vCPUs are host-overcommitted, so 4x threads do not "
-                "provide 4x compute. Relative to that measured ceiling, the "
-                f"full pipeline reaches **{sc['efficiency_vs_hw_ceiling']}** of "
-                "the achievable speedup. On a real cluster, 4N executors bring "
-                "4N physical cores and memory bandwidth, which is the regime "
-                "the >= 0.8 criterion describes.",
-            ]
+        for sc in pairs:
+            lines.append(
+                f"| local[{sc['cores_low']}] -> local[{sc['cores_high']}] | "
+                f"{sc['adj_urls_per_sec_low']} | {sc['adj_urls_per_sec_high']} | "
+                f"{sc['adj_speedup']} | {sc['adj_efficiency']} | "
+                f"{sc.get('hw_ceiling_speedup', '-')} | "
+                f"{sc.get('efficiency_vs_hw_ceiling', '-')} |"
+            )
+        lines += [
+            "",
+            "North-rule target: efficiency >= 0.8 from N to 4N executors.",
+            "The hw-ceiling column is the measured speedup of the PURE decode",
+            "stage (embarrassingly parallel Arrow/numpy, zero shuffles) between",
+            "the same two thread counts — the maximum ANY pipeline can reach",
+            "on this host-overcommitted, single-memory-bus VM. The 2->8 pair",
+            "runs below the box's bandwidth saturation point and is therefore",
+            "the closer analog of adding executors on a real cluster (4N",
+            "executors bring 4N memory bandwidth); the 8->32 pair additionally",
+            "pays the single-box ceiling the calibration quantifies.",
+        ]
         lines += [
             "",
             "Measurement caveats, single-box thread scaling vs a real 4N-executor",
