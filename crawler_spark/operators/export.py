@@ -17,8 +17,10 @@ Re-expresses the reference's export pipeline
 - per-directory CSV rollup (O-11, src/advert_exporter.py:407-448):
   every leaf row counts into its dir AND all ancestors incl. root ->
   GROUPING SETS ((cat1, cat2), (cat1), ())
-- filename write-back (src/advert_exporter.py:402-405) -> MERGE-style
-  overwrite of the pages snapshot.
+- filename write-back (src/advert_exporter.py:402-405) -> upsert into
+  a thin (url, filename) sidecar table joined back at read time
+  (pages_with_filenames) so the payload-bearing pages files are never
+  rewritten to record an export.
 """
 
 from __future__ import annotations
@@ -363,15 +365,47 @@ def rollup_counts(labeled: DataFrame) -> DataFrame:
 
 def write_back_filenames(catalog, labeled: DataFrame) -> None:
     """src/advert_exporter.py:402-405: UPDATE pages SET filename where
-    exported — MERGE WHEN MATCHED UPDATE as a snapshot rewrite."""
+    exported — as an upsert into the thin ``filenames`` sidecar table.
+
+    The pages table is the payload table (bytes per row); rewriting it
+    to record one string per exported row is a full-table IO bill at
+    100 TB. The sidecar holds only (url, filename) for exported rows —
+    O(exported) to write, and a re-export of the same urls replaces
+    their entries (last export wins, like the reference's UPDATE).
+    Reads that need the column join it back via
+    :func:`pages_with_filenames`; the pages data files are untouched.
+    """
+    from crawler_spark import schemas
+
+    upd = labeled.select("url", "filename").filter(F.col("filename").isNotNull())
+    if catalog.exists("filenames"):
+        current = catalog.read("filenames", schemas.FILENAMES)
+        upd = current.join(upd.select("url"), on="url", how="left_anti").unionByName(upd)
+    catalog.overwrite("filenames", upd)
+
+
+def pages_with_filenames(catalog) -> DataFrame:
+    """pages with the exported filename joined from the sidecar.
+
+    The canonical read of the reference's pages.filename column
+    (src/advert_exporter.py:402-405): sidecar wins, the pages table's
+    own (always-NULL since harvest) column is the fallback. The
+    sidecar is tiny — O(exported) rows of two strings — so Spark
+    broadcasts this join at any realistic scale.
+    """
     from crawler_spark import schemas
 
     pages = catalog.read("pages", schemas.PAGES)
-    upd = labeled.select("url", F.col("filename").alias("_new_filename"))
-    merged = (
-        pages.join(upd, on="url", how="left")
-        .withColumn("filename", F.coalesce(F.col("_new_filename"), F.col("filename")))
-        .drop("_new_filename")
+    if not catalog.exists("filenames"):
+        return pages
+    fn = catalog.read("filenames", schemas.FILENAMES).withColumnRenamed(
+        "filename", "_exported_filename"
+    )
+    return (
+        pages.join(F.broadcast(fn), on="url", how="left")
+        .withColumn(
+            "filename", F.coalesce(F.col("_exported_filename"), F.col("filename"))
+        )
+        .drop("_exported_filename")
         .select(*[f.name for f in schemas.PAGES.fields])
     )
-    catalog.overwrite("pages", merged)

@@ -163,6 +163,18 @@ PAGES = StructType(
     ]
 )
 
+# Exported-filename sidecar, keyed by url. The reference UPDATEs
+# pages.filename in place (src/advert_exporter.py:402-405); at 100 TB
+# the pages table IS the payload table, so recording one string per
+# exported row must not rewrite it — exports upsert this thin table
+# instead and reads join it back (export.pages_with_filenames).
+FILENAMES = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("filename", StringType(), False),
+    ]
+)
+
 # keyword_advertisement bridge (src/keyword_manager.py:48-58).
 BRIDGE = StructType(
     [

@@ -132,8 +132,30 @@ def test_export_files_partitioned_tree(pages, tmp_path):
 def test_filename_write_back(spark, pages, tmp_path):
     cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
     cat.overwrite("pages", pages)
+
+    def pages_files():
+        d = os.path.join(str(tmp_path / "wh"), "pages")
+        return sorted(
+            (os.path.join(r, f), os.path.getmtime(os.path.join(r, f)))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = pages_files()
     labeled = ex.with_filename(ex.label_pages(pages, FILTERS))
     ex.write_back_filenames(cat, labeled)
-    got = {r["url"]: r["filename"] for r in cat.read("pages").collect()}
+    got = {r["url"]: r["filename"] for r in ex.pages_with_filenames(cat).collect()}
     assert got["https://a.example.at/jobs/1"] == "karriere_0_00001.html"
     assert got["https://a.example.at/jobs/3"] is None  # unexported untouched
+    # the payload-bearing pages data files are NOT rewritten by an
+    # export (the point of the sidecar: O(exported) IO, not O(table))
+    assert pages_files() == before
+    # re-export overwrites matching urls, keeps the rest (UPDATE twin)
+    relabeled = labeled.withColumn(
+        "filename", F.concat(F.lit("v2/"), F.col("filename"))
+    )
+    ex.write_back_filenames(cat, relabeled)
+    got2 = {r["url"]: r["filename"] for r in ex.pages_with_filenames(cat).collect()}
+    assert got2["https://a.example.at/jobs/1"] == "v2/karriere_0_00001.html"
+    assert pages_files() == before

@@ -97,7 +97,7 @@ def test_export_files_fs_tree_and_writeback(spark, pages, tmp_path):
     assert el.get("ID") == "1"
     # write-back stores the RELATIVE path (src/advert_exporter.py:402-405)
     ex.write_back_filenames(cat, written)
-    stored = {r["url"]: r["filename"] for r in cat.read("pages").collect()}
+    stored = {r["url"]: r["filename"] for r in ex.pages_with_filenames(cat).collect()}
     assert stored["https://a.example.at/jobs/1"] == "higher/full/karriere_0_00001.xml"
 
 
@@ -200,11 +200,15 @@ def test_cli_end_to_end(spark, tmp_path):
     )
     assert exported["exported"] > 0
     assert os.path.isfile(os.path.join(out, "advertisements.csv"))
-    # filename write-back landed
+    # filename write-back landed (in the sidecar; pages untouched)
+    from crawler_spark.operators import export as ex
     from crawler_spark.storage import SnapshotCatalog
 
     cat = SnapshotCatalog(spark, wh)
-    assert cat.read("pages").filter(F.col("filename").isNotNull()).count() == exported["exported"]
+    assert (
+        ex.pages_with_filenames(cat).filter(F.col("filename").isNotNull()).count()
+        == exported["exported"]
+    )
 
     csv_out = str(tmp_path / "assembly.csv")
     asm = run_crawl.cmd_assembly(
