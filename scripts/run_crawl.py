@@ -80,6 +80,21 @@ def _catalog(spark, args):
 def _add_common(p):
     p.add_argument("--warehouse", required=True, help="snapshot catalog root (shared path)")
     p.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    p.add_argument(
+        "-c", "--config", default=None, metavar="CONFIG_YML",
+        help="reference-shaped config.yml (portals/keywords/filters, "
+        "etc/config.yml): portal budgets override politeness, keywords "
+        "drive matching, filters drive export labeling",
+    )
+
+
+def _config(args):
+    path = getattr(args, "config", None)
+    if not path:
+        return None
+    from crawler_spark.sources.config_yaml import load_config
+
+    return load_config(path)
 
 
 def _add_corpus_args(p):
@@ -93,13 +108,22 @@ def cmd_crawl(args) -> dict:
 
     spark = _spark(args.master)
     corpus = _corpus(spark, args)
+    robots = corpus["robots_rules"]
+    keywords = corpus["keywords"]
+    cfg = _config(args)
+    if cfg is not None:
+        from crawler_spark.sources import config_yaml as cy
+
+        robots = cy.apply_portal_budgets(robots, cfg)
+        if cfg.get("keywords"):
+            keywords = cy.keywords_df(spark, cfg)
     engine = CrawlEngine(
         spark=spark,
         catalog=_catalog(spark, args),
         seed_pages=corpus["seed_pages"],
         sitemap_entries=corpus["sitemap_entries"],
-        robots_rules=corpus["robots_rules"],
-        keywords=corpus["keywords"],
+        robots_rules=robots,
+        keywords=keywords,
         round_duration=args.round_duration,
         store_payload=not args.no_payload,
     )
@@ -130,10 +154,16 @@ def cmd_analyze(args) -> dict:
     spark = _spark(args.master)
     corpus = _corpus(spark, args)
     catalog = _catalog(spark, args)
-    upsert_keywords(catalog, corpus["keywords"])
+    keywords = corpus["keywords"]
+    cfg = _config(args)
+    if cfg is not None and cfg.get("keywords"):
+        from crawler_spark.sources import config_yaml as cy
+
+        keywords = cy.keywords_df(spark, cfg)
+    upsert_keywords(catalog, keywords)
     bridge = analyze(
         catalog,
-        corpus["keywords"],
+        keywords,
         title_only=not args.include_description,
         min_id=args.min_id,
         max_id=args.max_id,
@@ -172,9 +202,21 @@ def cmd_export(args) -> dict:
         if catalog.exists("keywords")
         else corpus["keywords"]
     )
-    filters = (
-        filters_as_rows(corpus["export_filters"]) if args.filters == "corpus" else FILTER_ROWS
-    )
+    cfg = _config(args)
+    if cfg is not None and cfg.get("filters"):
+        # -c config.yml: the reference's filters section drives the
+        # labeling (etc/config.yml:122-156), overriding --filters
+        from crawler_spark.sources import config_yaml as cy
+
+        filters = cy.filter_rows(cfg)
+    elif args.filters == "corpus":
+        filters = filters_as_rows(corpus["export_filters"])
+    else:
+        filters = FILTER_ROWS
+    if cfg is not None and cfg.get("keywords"):
+        from crawler_spark.sources import config_yaml as cy
+
+        keywords = cy.keywords_df(spark, cfg)
     # keyword-presence semi-join (O-17) before labeling, ORDER BY id at
     # file naming time via the deterministic filename format
     semi = pages.join(
