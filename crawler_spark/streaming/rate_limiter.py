@@ -41,15 +41,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-ADMIT_SCHEMA = StructType(
-    [
-        StructField("host", LongType(), False),
-        StructField("url", StringType(), False),
-        StructField("admitted", IntegerType(), False),
-        StructField("admit_seq", LongType(), True),
-    ]
-)
-
 STATE_SCHEMA = StructType(
     [
         StructField("total_admitted", LongType(), False),
@@ -59,46 +50,55 @@ STATE_SCHEMA = StructType(
 
 
 def stateful_politeness(
-    requests: DataFrame, tokens_per_batch: int = 2
+    requests: DataFrame,
+    tokens_per_batch: int = 2,
+    order_cols: tuple[str, ...] = ("priority", "url"),
 ) -> DataFrame:
     """Admit up to ``tokens_per_batch`` URLs per host per micro-batch.
 
-    Input stream columns: (host long, url string, priority int).
-    Output: every input row with ``admitted`` 0/1 and, for admitted
-    rows, the host's cumulative ``admit_seq`` (continues across
-    batches via the state store — the streaming analog of the batch
-    engine's admit_rank).
+    Input stream columns: ``host`` plus at least ``order_cols`` (any
+    further columns ride through untouched — the output schema is the
+    input schema + ``admitted``/``admit_seq``). Output: every input
+    row with ``admitted`` 0/1 and, for admitted rows, the host's
+    cumulative ``admit_seq`` (continues across batches via the state
+    store — the streaming analog of the batch engine's admit_rank).
+    Pass ``order_cols=politeness.ORDER_COLS`` to mirror the batch
+    engine's per-host emission order exactly.
     """
+    out_schema = StructType(
+        [
+            *requests.schema.fields,
+            StructField("admitted", IntegerType(), False),
+            StructField("admit_seq", LongType(), True),
+        ]
+    )
+    cols = list(requests.columns)
+    order = list(order_cols)
 
     def admit(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (host,) = key
         total_admitted, total_seen = (
             state.get if state.exists else (0, 0)
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["priority", "url"], kind="stable")
+        rows = rows.sort_values(order, kind="stable").reset_index(drop=True)
         n_admit = min(tokens_per_batch, len(rows))
-        admitted = [1] * n_admit + [0] * (len(rows) - n_admit)
-        seqs = [total_admitted + i + 1 for i in range(n_admit)] + [None] * (
-            len(rows) - n_admit
+        out = rows[cols].copy()
+        out["admitted"] = [1] * n_admit + [0] * (len(rows) - n_admit)
+        out["admit_seq"] = pd.array(
+            [total_admitted + i + 1 for i in range(n_admit)]
+            + [None] * (len(rows) - n_admit),
+            dtype="Int64",
         )
         state.update((total_admitted + n_admit, total_seen + len(rows)))
-        yield pd.DataFrame(
-            {
-                "host": [int(host)] * len(rows),
-                "url": rows["url"].tolist(),
-                "admitted": admitted,
-                "admit_seq": pd.array(seqs, dtype="Int64"),
-            }
-        )
+        yield out
 
     return (
         requests.groupBy("host")
         .applyInPandasWithState(
             admit,
-            outputStructType=ADMIT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -86,3 +86,76 @@ def test_empty_batch_is_noop(spark, stream_corpus, tmp_path_factory):
     q = stream.start(ckpt)
     q.awaitTermination(120)
     assert engine.pages().count() == 0
+
+
+def test_stateful_stream_order_equals_batch_engine(spark, tmp_path_factory):
+    """End-to-end streaming admission == batch engine admission.
+
+    The same discovered frontier drains two ways: (a) the batch
+    engine's round loop (window-ranked politeness, tokens/host/round),
+    (b) StatefulCrawlStream (stateful_politeness per micro-batch with
+    deferred rows looping back, tokens/host/wave). With equal budgets
+    and the same ORDER_COLS, the per-host admitted URL sequence must
+    be identical — the reference's strictly-sequential portal thread
+    order (src/harvester.py:420-434) reproduced by both execution
+    models.
+    """
+    from crawler_spark.streaming.crawl_stream import StatefulCrawlStream
+
+    # uniform budget: rpm=60 for every host -> crawl_delay=1s;
+    # round_duration=8 -> 8 tokens/host/round == tokens_per_batch
+    corpus = corpus_to_spark(
+        spark,
+        gen_corpus(
+            n_pages=150,
+            n_hosts=3,
+            urlset_size=40,
+            fault_frac=0.0,
+            rpms=(60,),
+            robots_delay_every=0,
+        ),
+    )
+    wh = str(tmp_path_factory.mktemp("batch_wh"))
+    engine = CrawlEngine(
+        spark,
+        SnapshotCatalog(spark, wh),
+        seed_pages=corpus["seed_pages"],
+        sitemap_entries=corpus["sitemap_entries"],
+        robots_rules=corpus["robots_rules"],
+        keywords=corpus["keywords"],
+        round_duration=8.0,
+        store_payload=False,
+    )
+    engine.bootstrap()
+    frontier = engine.frontier().cache()
+    frontier.count()
+    engine.run(max_rounds=50)
+    batch_order = {
+        host: [r["url"] for r in rows]
+        for host, rows in (
+            (h, engine.pages().filter(F.col("portal") == p).orderBy("id").collect())
+            for h, p in frontier.select("host", "portal").distinct().collect()
+        )
+    }
+
+    stream = StatefulCrawlStream(
+        spark,
+        in_dir=str(tmp_path_factory.mktemp("stream_in")),
+        work_dir=str(tmp_path_factory.mktemp("stream_work")),
+        tokens_per_batch=8,
+    )
+    admitted = stream.run(frontier, max_waves=30)
+    stream_order = {
+        host: [r["url"] for r in rows]
+        for host, rows in (
+            (h, admitted.filter(F.col("host") == h).orderBy("admit_seq").collect())
+            for h in [r["host"] for r in admitted.select("host").distinct().collect()]
+        )
+    }
+    frontier.unpersist()
+
+    assert set(stream_order) == set(batch_order)
+    for host in batch_order:
+        assert stream_order[host] == batch_order[host], host
+    # the stream genuinely looped deferred rows back (multi-wave)
+    assert stream.waves > 1
