@@ -57,13 +57,33 @@ def test_keyword_titles_broadcasts_dimension(spark):
 
 
 def test_minhash_signatures_native(spark):
+    """The signature pipeline (shingle -> xxhash64 -> band) must stay
+    JVM-native. Audited on the banded relation directly: the full
+    minhash_lsh query localCheckpoints the bucket relation (the
+    degenerate-bucket chunk self-join must not re-run the signature
+    pipeline), which truncates lineage to an ExistingRDD scan — the
+    final plan no longer shows the upstream stages, so pinning there
+    would be vacuous."""
+    from crawler_spark.operators.dedup import _lsh_banded
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    banded = _lsh_banded(docs, n=3, n_hashes=64, bands=16, text_col="text", id_col="doc_id")
     res = audit_plan(
-        "minhash_lsh",
-        _q(spark, "minhash_lsh"),
+        "minhash_banded",
+        banded,
         required=[r"xxhash64"],
-        forbidden=[r"ArrowEvalPython"],
+        forbidden=[r"ArrowEvalPython", r"BatchEvalPython"],
     )
     assert res.ok, res.summary
+    # and the post-checkpoint half (bucket grouping + verify) must not
+    # introduce a Python stage either
+    res2 = audit_plan(
+        "minhash_lsh",
+        _q(spark, "minhash_lsh"),
+        required=[],
+        forbidden=[r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+    assert res2.ok, res2.summary
 
 
 def test_exact_dedup_partial_agg_on_hash(spark):
