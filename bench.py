@@ -133,10 +133,15 @@ def _run_crawl(spark, n_pages: int, warm: bool = False, corpus: dict | None = No
         steal = _steal_ticks() - st0
         scheduled = sum(m["scheduled"] for m in metrics)
         stored = sum(m["stored"] for m in metrics)
+        # post-run verification count — not billed to the engine
         seen_n = 0 if warm else engine.seen().count()
     if own_corpus:
         for df in corpus.values():
             df.unpersist()
+    spans: dict[str, float] = {}
+    for m in metrics:
+        for k, v in (m.get("spans") or {}).items():
+            spans[k] = round(spans.get(k, 0.0) + v, 2)
     return {
         "pages": n_pages,
         "rounds": len(metrics),
@@ -146,6 +151,7 @@ def _run_crawl(spark, n_pages: int, warm: bool = False, corpus: dict | None = No
         "secs": round(elapsed, 2),
         "urls_per_sec": round(scheduled / elapsed, 1),
         "steal_cpu_secs": round(steal / 100.0, 1),
+        "spans": spans,
     }
 
 
@@ -318,6 +324,9 @@ def main() -> None:
             scaling = next(
                 (p for p in scaling_pairs if p["cores_low"] == 8), scaling_pairs[-1]
             )
+            scaling["spans_by_cores"] = {
+                str(c): legs[c].get("spans") for c in cores_sorted
+            }
         except (subprocess.SubprocessError, ValueError, KeyError, IndexError) as e:  # noqa: PERF203
             scaling = {"error": str(e)[:200]}
 
@@ -392,6 +401,32 @@ def _write_bench_md(result: dict) -> None:
             "executors bring 4N memory bandwidth); the 8->32 pair additionally",
             "pays the single-box ceiling the calibration quantifies.",
         ]
+        spans_by_cores = (result.get("scaling") or {}).get("spans_by_cores") or {}
+        if spans_by_cores:
+            cores_cols = sorted(spans_by_cores, key=int)
+            stages = list(
+                dict.fromkeys(
+                    k for c in cores_cols for k in (spans_by_cores[c] or {})
+                )
+            )
+            lines += [
+                "",
+                "### Per-stage spans of the measured crawl round (median rep, seconds)",
+                "",
+                "`plan` = frontier read + bloom probe + politeness + fetch-join +",
+                "decode chain up to the first commit; the rest are the snapshot",
+                "commits in order. Stages that shrink with cores are parallel;",
+                "stages that do not are the serial floor the efficiency number",
+                "pays (driver commits, manifest IO, Python worker spin-up).",
+                "",
+                "| stage | " + " | ".join(f"local[{c}]" for c in cores_cols) + " |",
+                "|---|" + "---|" * len(cores_cols),
+            ]
+            for st in stages:
+                row = " | ".join(
+                    str((spans_by_cores[c] or {}).get(st, "-")) for c in cores_cols
+                )
+                lines.append(f"| {st} | {row} |")
         lines += [
             "",
             "Measurement caveats, single-box thread scaling vs a real 4N-executor",
@@ -413,19 +448,20 @@ def _write_bench_md(result: dict) -> None:
         "",
         "## Round-over-round",
         "",
-        "Round 1 -> round 2: query-suite total 173.7s -> ~94-145s (best 93.9s) at sf0.1, "
-        "dominated by the dedup/ANN rewrites — minhash_lsh 32.3s -> ~6-11s "
-        "(fused token-hash shingles, one-pass banded candidates), simhash "
-        "21.1s -> ~5s (native 64-column bit-vote HashAggregate replacing "
-        "per-character Python), ngram_jaccard 48.3s -> ~11-17s (exact twin "
-        "now on a deterministic half-sample; minhash covers the full "
-        "corpus), and the ANN paths now beat brute force at 64 queries "
-        "(cosine_topk_lsh/ivf ~2.4-2.9s vs cosine_topk ~3.6-6.6s). "
-        "Crawl throughput at local[8] improved ~2.6x (493 -> ~1290 URLs/s; "
-        "round-1's low-core legs were measured under heavy steal, which "
-        "also inflated round-1's apparent efficiency >1.0), so the "
-        "remaining 8->32 gap is the single-box bandwidth ceiling the "
-        "calibration above quantifies.",
+        "Round 2 -> round 3: the work went into the per-round SERIAL floor "
+        "that caps measured single-box scaling efficiency — the bloom "
+        "sidecar fold moved from a per-Row driver loop to one Arrow "
+        "transfer + vectorized groupby, the 16-row filter-blob snapshot is "
+        "now a direct pyarrow write instead of a createDataFrame().write "
+        "Spark job (~5s/round), run() stops on a two-column frontier "
+        "probe instead of executing a full no-op round's commit chain "
+        "(~10s at the drain boundary), and all-retry idle rounds "
+        "fast-forward with a metadata-only manifest commit. The headline "
+        "is now the MEDIAN of 3 reps (was fastest-of-2) and the scaling "
+        "evidence carries two N-vs-4N pairs (2->8 below the box's "
+        "bandwidth saturation point, 8->32 the BASELINE.md protocol) "
+        "with per-stage span tables. Round 2's query-suite numbers "
+        "(93-145s) carry over; no query changed plan this round.",
     ]
     lines += ["", "## Per-query seconds", ""]
     lines += [f"- {k}: {v}s" for k, v in result["queries"].items()]

@@ -159,6 +159,11 @@ class CrawlEngine:
     _bloom_bitmaps: dict | None = field(default=None, repr=False)
     _bloom_bc: object = field(default=None, repr=False)
     _id_base: dict | None = field(default=None, repr=False)
+    # static per-engine sub-plans, built once instead of per round —
+    # expression-tree construction is driver-serial py4j time that a
+    # bigger cluster cannot shrink
+    _corpus_sel: DataFrame | None = field(default=None, repr=False)
+    _rules_by_host: DataFrame | None = field(default=None, repr=False)
 
     # ------------------------------------------------------------ tables
     def frontier(self) -> DataFrame:
@@ -251,6 +256,12 @@ class CrawlEngine:
         cuckoo tables), lazily restored from the catalog snapshot
         (resume path)."""
         if self._bloom_bitmaps is None:
+            if not self.catalog.exists(self._sidecar_table()):
+                # fresh bootstrap: no snapshot to restore — skip the
+                # Spark collect (an empty-DF job still costs ~1s of
+                # driver-blocking serial time per run)
+                self._bloom_bitmaps = {}
+                return self._bloom_bitmaps
             rows = self.catalog.read(
                 self._sidecar_table(), seen_ops.BLOOM_SCHEMA
             ).collect()
@@ -270,6 +281,8 @@ class CrawlEngine:
         """
         if self._bloom_bitmaps is not None:
             total = sum(len(b) for b in self._bloom_bitmaps.values())
+        elif not self.catalog.exists(self._sidecar_table()):
+            total = 0  # fresh bootstrap: nothing persisted yet
         else:
             row = (
                 self.catalog.read(self._sidecar_table(), seen_ops.BLOOM_SCHEMA)
@@ -389,6 +402,11 @@ class CrawlEngine:
         """Per-portal max stored id, held on the driver between rounds
         and restored from the pages snapshot on resume."""
         if self._id_base is None:
+            if not self.catalog.exists("pages"):
+                # fresh bootstrap: no ids to continue from — skip the
+                # empty-table aggregate (a driver-blocking Spark job)
+                self._id_base = {}
+                return self._id_base
             rows = (
                 self.pages().groupBy("portal").agg(F.max("id").alias("m")).collect()
             )
@@ -410,12 +428,12 @@ class CrawlEngine:
         marks: list[tuple[str, float]] = [("start", time.time())]
 
         def mark(label: str) -> None:
-            if timing:
-                marks.append((label, time.time()))
+            marks.append((label, time.time()))
 
         r = self.current_round()
         frontier = self.frontier()
         seen = self.seen()
+        mark("read")
 
         # The frontier holds only open work: rows whose retry backoff
         # reaches into the future are deferred as-is; the rest are this
@@ -455,20 +473,23 @@ class CrawlEngine:
         admitted, leftover, admit_handle = politeness.admit_split(
             unseen, self.robots_rules, self.round_duration, self.n_salt
         )
+        mark("admit")
 
         # ---- fetch: join the corpus (the synthetic web) on url.
-        corpus = self.seed_pages.select(
-            "url",
-            "image_id",
-            F.col("w").alias("w"),
-            F.col("h").alias("h"),
-            "fmt",
-            "caption",
-            F.col("http_status"),
-            "transient",
-            F.col("phash").alias("expected_phash"),
-            *(["outlinks"] if "outlinks" in self.seed_pages.columns else []),
-        )
+        if self._corpus_sel is None:
+            self._corpus_sel = self.seed_pages.select(
+                "url",
+                "image_id",
+                F.col("w").alias("w"),
+                F.col("h").alias("h"),
+                "fmt",
+                "caption",
+                F.col("http_status"),
+                "transient",
+                F.col("phash").alias("expected_phash"),
+                *(["outlinks"] if "outlinks" in self.seed_pages.columns else []),
+            )
+        corpus = self._corpus_sel
         fetched = admitted.join(corpus, on="url", how="left").withColumn(
             "transient", F.coalesce(F.col("transient"), F.lit(False))
         )
@@ -504,6 +525,7 @@ class CrawlEngine:
         # (restored from the pages snapshot on resume) — no per-round
         # rescan of the pages table.
         bases = self._portal_id_bases()
+        mark("bases")
         base_expr = (
             F.coalesce(
                 F.element_at(
@@ -543,6 +565,7 @@ class CrawlEngine:
         ).cache()
 
         matcher = self._keyword_matcher()
+        mark("matcher")
         new_bridge = (
             new_pages.withColumn(
                 "matched",
@@ -650,9 +673,11 @@ class CrawlEngine:
             # can_fetch per candidate link, src/harvester.py:1079-1083);
             # hosts without a robots entry are allowed (left join ->
             # null rule arrays -> no rule matches)
-            rules_by_host = with_robots_regexes(self.robots_rules).select(
-                "host", "allow_re", "disallow_re"
-            )
+            if self._rules_by_host is None:
+                self._rules_by_host = with_robots_regexes(self.robots_rules).select(
+                    "host", "allow_re", "disallow_re"
+                )
+            rules_by_host = self._rules_by_host
             children = (
                 with_url_identity_native(children)
                 .join(F.broadcast(rules_by_host), on="host", how="left")
@@ -723,12 +748,13 @@ class CrawlEngine:
             n_inserted += row["n"]
         counts[routing.OUT_STORE] = n_inserted
         mark("counts")
+        spans = {
+            label: round(t1 - t0, 2)
+            for (_, t0), (label, t1) in zip(marks, marks[1:])
+        }
         if timing:
-            spans = ", ".join(
-                f"{label}={t1 - t0:.1f}s"
-                for (_, t0), (label, t1) in zip(marks, marks[1:])
-            )
-            print(f"[round {r}] {spans}")
+            printable = ", ".join(f"{k}={v:.1f}s" for k, v in spans.items())
+            print(f"[round {r}] {printable}")
         if admit_handle is not None:
             admit_handle.unpersist()
         routed.unpersist()
@@ -739,6 +765,7 @@ class CrawlEngine:
             "stored": counts.get(routing.OUT_STORE, 0),
             "retried": counts.get(routing.OUT_RETRY, 0),
             "dropped": counts.get(routing.OUT_DROP, 0),
+            "spans": spans,
         }
 
     def expire_seen(self, urls, drop_pages: bool = True) -> int:
