@@ -42,7 +42,11 @@ AUDITS = {
         [r"HashAggregate", r"xxhash64", r"LeftSemi"],
         [r"ArrowEvalPython", r"BatchEvalPython"],
     ),
-    "minhash_lsh": ([r"xxhash64"], [r"ArrowEvalPython"]),  # signatures JVM-side
+    # the full query localCheckpoints the bucket relation (the chunk
+    # self-join must not re-run the signature pipeline), truncating
+    # the visible plan to an ExistingRDD scan — the xxhash64 pin
+    # lives on the pre-checkpoint banded relation (see main())
+    "minhash_lsh": ([], [r"ArrowEvalPython", r"BatchEvalPython"]),
     # native bit-vote: explode + xxhash64 + 64-column conditional-sum
     # HashAggregate — zero Python in the fingerprint plan
     "simhash": (
@@ -78,6 +82,24 @@ def main() -> None:
         if not res.ok:
             failures.append(name)
         sections += [f"## {name} — {res.summary}", "", "```", res.compact_plan, "```", ""]
+
+    # minhash signature pipeline, audited PRE-checkpoint (the full
+    # query's plan starts at the checkpointed bucket relation)
+    from crawler_spark.operators.dedup import _lsh_banded
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banded = _lsh_banded(docs, n=3, n_hashes=64, bands=16, text_col="text", id_col="doc_id")
+    res = audit_plan(
+        "minhash_banded (signature pipeline, pre-checkpoint)",
+        banded,
+        [r"xxhash64"],
+        [r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+    print(f"minhash_banded: {res.summary}")
+    if not res.ok:
+        failures.append("minhash_banded")
+    sections += [f"## {res.name} — {res.summary}", "", "```", res.compact_plan, "```", ""]
+
     with open("EXPLAIN.md", "w") as f:
         f.write("\n".join(sections))
     print("\nwrote EXPLAIN.md;", ("FAILURES: " + ", ".join(failures)) if failures else "all checks pass")
