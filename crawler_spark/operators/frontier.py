@@ -720,7 +720,23 @@ class CrawlEngine:
         if self.use_bloom:
             self._commit_bloom(new_seen)
         mark("bloom")
-        self.catalog.append("lineage", lineage.coalesce(1))
+        # lineage is O(hosts) rows: ONE Arrow collect feeds both the
+        # commit (driver-direct parquet append — a Spark write job for
+        # 16 rows is fixed serial time per round) and the round metrics
+        # (which previously ran their own groupBy(outcome) job).
+        import pyarrow as pa
+
+        from crawler_spark.storage import spark_schema_to_arrow
+
+        lin_pdf = lineage.toPandas()
+        self.catalog.append_arrow(
+            "lineage",
+            pa.Table.from_pandas(
+                lin_pdf,
+                schema=spark_schema_to_arrow(schemas.LINEAGE),
+                preserve_index=False,
+            ),
+        )
         mark("lineage")
         self.catalog.overwrite("frontier", new_frontier, properties={"round": r + 1})
         mark("frontier")
@@ -733,9 +749,12 @@ class CrawlEngine:
                 self.catalog.compact(tbl, schema)
             mark("compact")
 
-        by_outcome = routed.groupBy("outcome").agg(F.count("*").alias("n")).collect()
-        counts: dict[str, int] = {r["outcome"]: r["n"] for r in by_outcome}
-        n_scheduled = sum(counts.values())
+        counts: dict[str, int] = {
+            routing.OUT_STORE: int(lin_pdf["stored"].sum()),
+            routing.OUT_RETRY: int(lin_pdf["retried"].sum()),
+            routing.OUT_DROP: int(lin_pdf["dropped"].sum()),
+        }
+        n_scheduled = int(lin_pdf["scheduled"].sum())
         # Advance id bases by the rows that actually landed (new_pages
         # is post-anti-join and cached): counting routed OUT_STORE rows
         # here would drift the bases whenever the url guard drops a

@@ -30,6 +30,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def spark_schema_to_arrow(schema: StructType):
+    """pyarrow schema for a (simple-typed) Spark schema — so the
+    driver-direct writes produce parquet byte-compatible with what
+    Spark would have written for the same StructType."""
+    import pyarrow as pa
+
+    mapping = {
+        "integer": pa.int32(),
+        "long": pa.int64(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+    }
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t not in mapping:
+            raise TypeError(f"spark_schema_to_arrow: unsupported type {t} for {f.name}")
+        fields.append(pa.field(f.name, mapping[t], nullable=f.nullable))
+    return pa.schema(fields)
+
+
 @dataclass
 class SnapshotCatalog:
     """Versioned parquet tables under ``root`` with atomic manifests."""
@@ -158,6 +182,28 @@ class SnapshotCatalog:
         self._commit_manifest(
             name, {"version": version, "paths": [rel], "properties": properties or {}}
         )
+        self._cache.pop(name, None)
+
+    def append_arrow(self, name: str, table, properties: dict | None = None) -> None:
+        """Append a SMALL driver-resident file set via pyarrow directly.
+
+        Same manifest semantics as :meth:`append` (existing data files
+        are reused by reference), same rationale as
+        :meth:`overwrite_arrow`: when the rows are already on the
+        driver (O(hosts) lineage metrics), a Spark write job is pure
+        fixed serial overhead per round. ``table``: a ``pyarrow.Table``.
+        """
+        import pyarrow.parquet as pq
+
+        m = self._read_manifest(name)
+        version = 0 if m is None else m["version"] + 1
+        rel = f"v{version:06d}-{int(time.time() * 1000)}"
+        out = os.path.join(self._table_dir(name), rel)
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(table, os.path.join(out, "part-00000-arrow.parquet"))
+        paths = ([*m["paths"], rel]) if m else [rel]
+        props = (m.get("properties", {}) if m else {}) | (properties or {})
+        self._commit_manifest(name, {"version": version, "paths": paths, "properties": props})
         self._cache.pop(name, None)
 
     def set_properties(self, name: str, properties: dict) -> None:
