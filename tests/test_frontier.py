@@ -305,3 +305,60 @@ def test_crawl_lineage_golden():
 
     rows = duckdb.sql(e.oracle_sql()["crawl_lineage"]).fetchall()
     assert {r[0]: tuple(r[1:]) for r in rows} == CRAWL_LINEAGE_GOLDEN
+
+
+def test_idle_rounds_fast_forward(spark, tmp_path_factory):
+    """All-retry rounds advance the scheduler clock with a
+    metadata-only manifest commit instead of executing no-op rounds.
+
+    round_duration=60 with the corpus's retry_timeout_min of 5/15
+    makes retries eligible at rounds +5/+15; the budget admits every
+    eligible row in one round, so between those points the frontier
+    holds ONLY future retries. run() must (a) drain completely, (b)
+    execute rounds only at {0, 5, 15} (the reference harvester sleeps
+    this interval rather than spinning, src/harvester.py:420-434),
+    and (c) fast-forward without rewriting frontier data files.
+    """
+    from crawler_spark.sources.synth import corpus_to_spark, gen_corpus
+
+    corpus = corpus_to_spark(
+        spark,
+        gen_corpus(
+            n_pages=150,
+            n_hosts=4,
+            urlset_size=40,
+            rpms=(360000,),
+            fault_frac=1.0,
+            robots_delay_every=0,
+        ),
+    )
+    cat = SnapshotCatalog(spark, str(tmp_path_factory.mktemp("ff_wh")))
+    eng = CrawlEngine(
+        spark,
+        cat,
+        seed_pages=corpus["seed_pages"],
+        sitemap_entries=corpus["sitemap_entries"],
+        robots_rules=corpus["robots_rules"],
+        keywords=corpus["keywords"],
+        round_duration=60.0,
+        store_payload=False,
+    )
+    eng.bootstrap()
+    m0 = eng.run_round()
+    assert m0["retried"] > 0, "corpus must produce 5xx retries"
+    paths_before = cat._read_manifest("frontier")["paths"]
+    ms = eng.run(max_rounds=40)
+    rounds = [m["round"] for m in ms]
+    # executed rounds land ONLY on retry eligibility points (+5/+15),
+    # and at least one exists — the intermediate no-op rounds were
+    # fast-forwarded, not executed (old behavior: every round in
+    # 1..15 ran a full commit chain scheduling nothing)
+    assert rounds and set(rounds) <= {5, 15}, rounds
+    assert min(rounds) >= 5  # nothing executed between 0 and the retry point
+    assert eng.pending_count() == 0
+    assert cat._read_manifest("frontier")["properties"]["round"] > max(rounds)
+    assert paths_before  # round-0 snapshot existed
+    lineage_rounds = {
+        int(r["round"]) for r in eng.lineage().select("round").distinct().collect()
+    }
+    assert lineage_rounds == {0, *rounds}
