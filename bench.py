@@ -463,11 +463,12 @@ def _write_bench_md(result: dict) -> None:
         "is now the MEDIAN of 3 reps (was fastest-of-2) and the scaling "
         "evidence carries two N-vs-4N pairs (2->8 and 8->32, the "
         "BASELINE.md protocol) with per-stage span tables. Measured "
-        "effect at 120k pages: 8->32 steal-adjusted efficiency 0.349 -> "
-        "0.62 (0.52 -> 0.71 of the measured same-VM decode ceiling), "
-        "headline 2282 -> 2773 URLs/s, with the crawl leg's median wall "
-        "52.6s -> 43.3s. No query changed plan this round; suite total "
-        "92.3s -> 86.3s is run-to-run variance.",
+        "effect at 120k pages, over two full end-to-end runs: 8->32 "
+        "steal-adjusted efficiency 0.349 -> 0.62/0.57 (0.52 -> "
+        "0.71/0.74 of the same-run measured decode ceiling), headline "
+        "2282 -> 2773/3076 URLs/s, crawl median wall 52.6s -> "
+        "43.3/39.0s. No query changed plan this round; suite totals "
+        "86-87s vs round 2's 92.3s.",
     ]
     lines += ["", "## Per-query seconds", ""]
     lines += [f"- {k}: {v}s" for k, v in result["queries"].items()]

@@ -67,7 +67,7 @@ class StatefulCrawlStream:
         Returns (n_admitted, n_deferred) for this wave.
         """
         counts = {"admitted": 0, "deferred": 0}
-        deferred_rows: list = []
+        in_cols = [f.name for f in schema.fields]
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
             batch.persist()
@@ -80,11 +80,12 @@ class StatefulCrawlStream:
                 admitted.write.mode("append").parquet(self.admitted_dir)
             # availableNow snapshots the file listing at query start, so
             # files appended here are NOT reprocessed within this wave —
-            # they form the next wave. Collected to the driver only to
-            # count; the write stays executor-side.
+            # they form the next wave. The write stays executor-side
+            # (no driver round-trip: at cluster scale the deferred set
+            # is the hot-host backlog, which can dwarf the admitted set).
             n_def = deferred.count()
             if n_def:
-                deferred_rows.append(deferred.toPandas())
+                deferred.select(*in_cols).write.mode("append").parquet(self.in_dir)
             counts["admitted"] += n_adm
             counts["deferred"] += n_def
             batch.unpersist()
@@ -103,10 +104,6 @@ class StatefulCrawlStream:
             .start()
         )
         q.awaitTermination()
-        for pdf in deferred_rows:
-            self.spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
-                "append"
-            ).parquet(self.in_dir)
         self.waves += 1
         return counts["admitted"], counts["deferred"]
 
