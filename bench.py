@@ -438,6 +438,12 @@ def _write_bench_md(result: dict) -> None:
             " to ~400 stolen CPU-seconds inside one bench leg), which swings"
             " individual runs by up to 2x — each crawl result carries its"
             " measured `steal_cpu_secs`;",
+            "- the steal adjustment divides total stolen CPU-seconds by the"
+            " WORKER count, which overcorrects at low counts (the JVM runs"
+            " more busy threads than Spark workers, and /proc/stat steal is"
+            " VM-wide): at local[2] the raw column bounds the true time from"
+            " above and the adjusted column from below; at local[32] the two"
+            " converge;",
             "- 8 -> 32 threads inside ONE JVM shares one memory-bandwidth domain"
             " — the Arrow-batched decode stage's per-core work inflates ~1.9x at"
             " 32 concurrent workers, an effect real clusters do not have"
