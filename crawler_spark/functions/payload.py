@@ -5,15 +5,18 @@ field extraction (src/advert.py:188-285 Karriere, 288-381 Stepstone):
 payload bytes in, struct of derived/validated fields out, executed as
 Arrow-batched pandas UDFs (never per-row Python in the plan).
 
-Formats: 'raw' (uncompressed RGB, w*h*3 uint8) is fully implemented
-with numpy only. 'png'/'jpeg' decode is STUBBED behind
-NotImplementedError — the image codec libraries are not available in
+Formats: 'raw' (uncompressed RGB, w*h*3 uint8) and 'png' (8-bit RGB,
+non-interlaced — a real, dependency-free codec on stdlib zlib: all
+five scanline filters on decode, CRC-validated chunks) are fully
+implemented. 'jpeg' decode remains STUBBED behind
+NotImplementedError — a DCT/Huffman codec library is not available in
 this container; the Spark-side plumbing (schema, batching, UDF
-signatures) is identical for real codecs.
+signatures) is identical for it.
 """
 
 from __future__ import annotations
 
+import struct
 import zlib
 from functools import lru_cache
 
@@ -78,9 +81,11 @@ def pixels_gradient(image_id: str, w: int, h: int) -> np.ndarray:
 def encode_payload(pixels: np.ndarray, fmt: str = "raw") -> bytes:
     if fmt == "raw":
         return pixels.tobytes()
+    if fmt == "png":
+        return encode_png(pixels)
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no image libs); "
-        "'raw' is the supported interchange format"
+        "'raw' and 'png' are the supported interchange formats"
     )
 
 
@@ -90,9 +95,137 @@ def decode_payload(data: bytes, w: int, h: int, fmt: str = "raw") -> np.ndarray:
         if arr.size != w * h * 3:
             raise ValueError(f"raw payload size {arr.size} != {w}x{h}x3")
         return arr.reshape(h, w, 3)
+    if fmt == "png":
+        px = decode_png(data)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"png dims {px.shape[1]}x{px.shape[0]} != expected {w}x{h}")
+        return px
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no image libs)"
     )
+
+
+# ------------------------------------------------------------------ png
+# A real PNG codec on stdlib zlib alone (RFC 2083): 8-bit RGB (color
+# type 2), non-interlaced. The encoder emits one filter type for the
+# whole image (None/Sub/Up — Sub compresses the synthetic gradients
+# well); the decoder implements ALL five scanline filters and CRC-
+# checks every chunk, so it reads PNGs from any standard encoder with
+# this color layout, not just its own output. This is the per-row
+# field-extraction analog of the reference's BeautifulSoup parse
+# (src/advert.py:188-285): bytes in, validated pixels out, inside the
+# same Arrow-batched UDFs.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 1, level: int = 6) -> bytes:
+    """8-bit RGB non-interlaced PNG; one filter type for all rows."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(h, w * 3)
+    if filter_type == 0:  # None
+        filtered = flat
+    elif filter_type == 1:  # Sub: delta vs previous pixel in the row
+        left = np.zeros_like(flat)
+        left[:, 3:] = flat[:, :-3]
+        filtered = flat - left  # uint8 wraps == mod 256
+    elif filter_type == 2:  # Up: delta vs same byte one row up
+        up = np.zeros_like(flat)
+        up[1:, :] = flat[:-1, :]
+        filtered = flat - up
+    else:
+        raise ValueError(f"encoder supports filter types 0/1/2, got {filter_type}")
+    scan = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = filtered
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB non-interlaced PNG (all 5 filters, CRC-checked)."""
+    if bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = bytes(data[pos + 4 : pos + 8])
+        payload = bytes(data[pos + 8 : pos + 8 + length])
+        if len(payload) != length:
+            raise ValueError(f"truncated chunk {tag!r}")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in chunk {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    f"png layout unsupported: depth={depth} color={ctype} interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("png missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + w * 3
+    if len(raw) != h * stride:
+        raise ValueError(f"png scanline data {len(raw)} != {h}x{stride}")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters, rows = scan[:, 0], scan[:, 1:]
+    recon = np.zeros((h, w * 3), dtype=np.uint8)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        up = recon[y - 1] if y else np.zeros(w * 3, dtype=np.uint8)
+        if f == 0:  # None
+            recon[y] = row
+        elif f == 1:  # Sub — per-channel cumulative sum mod 256
+            recon[y] = (
+                row.reshape(w, 3).astype(np.int64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            recon[y] = row + up  # uint8 wraps
+        elif f == 3:  # Average — left-recursive, per-pixel scan
+            out, left = recon[y], np.zeros(3, dtype=np.uint16)
+            u16, r16 = up.astype(np.uint16), row.astype(np.uint16)
+            for x in range(0, w * 3, 3):
+                left = (r16[x : x + 3] + ((left + u16[x : x + 3]) >> 1)) & 0xFF
+                out[x : x + 3] = left
+        elif f == 4:  # Paeth — left-recursive, per-pixel scan
+            out = recon[y]
+            ul = np.zeros(3, dtype=np.int32)
+            left = np.zeros(3, dtype=np.int32)
+            u32, r32 = up.astype(np.int32), row.astype(np.int32)
+            for x in range(0, w * 3, 3):
+                b = u32[x : x + 3]
+                p = left + b - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul))
+                left = (r32[x : x + 3] + pred) & 0xFF
+                out[x : x + 3] = left.astype(np.uint8)
+                ul = b
+        else:
+            raise ValueError(f"png filter type {f} invalid")
+    return recon.reshape(h, w, 3)
 
 
 @lru_cache(maxsize=4)

@@ -3,10 +3,12 @@
 Images/audio/video ride as `binary` columns with typed metadata
 (w, h, fmt / sample_rate, duration / fps, n_frames). The Spark-side
 plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
-partition sizing — is fully real and tested; the heavy codec calls
-are STUBBED (this container has no image/audio libraries): 'raw'
-payloads decode with numpy, everything else raises
-NotImplementedError exactly where a Pillow/ffmpeg call would go.
+partition sizing — is fully real and tested. 'raw' RGB payloads
+decode with numpy, 'png' with the real stdlib-zlib codec in
+functions/payload.py (all five scanline filters, CRC-checked), and
+'pcm16' audio with numpy; jpeg/mp3/video raise NotImplementedError
+exactly where a libjpeg/ffmpeg call would go (this container ships
+no DCT/Huffman codec libraries).
 
 Scale notes: payload rows are wide (KB-MB); the iterator-of-batches
 mapInPandas form streams Arrow batches without materializing a
@@ -104,7 +106,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for iid, data, w, h, fmt in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
-                px = decode_payload(bytes(data), int(w), int(h), fmt)  # raises for non-raw: stub
+                px = decode_payload(bytes(data), int(w), int(h), fmt)  # raw/png real; jpeg raises
                 ri = (np.arange(target_h) * int(h)) // target_h
                 ci = (np.arange(target_w) * int(w)) // target_w
                 small = px[np.ix_(ri, ci)]

@@ -110,6 +110,7 @@ def gen_corpus(
     fault_frac: float = 1.0,
     robots_delay_every: int = 4,
     deep_frac: float = 0.0,
+    png_frac: float = 0.0,
 ) -> dict[str, pd.DataFrame]:
     """Generate the full corpus as pandas DataFrames (all deterministic).
 
@@ -154,6 +155,13 @@ def gen_corpus(
             w = int(rng.choice(img_sizes))
             h = int(rng.choice(img_sizes))
             caption = make_caption(uid, rng) if rng.random() > 0.02 else ""
+            # png_frac of payloads arrive PNG-encoded (the real stdlib
+            # codec in functions/payload.py) — same pixels, different
+            # wire format, so phash/PSNR fidelity must be fmt-invariant.
+            # Keyed off uid, NOT an rng draw: consuming the stream here
+            # would shift every later draw and silently change all
+            # existing corpora (incl. golden-pinned ones) at png_frac=0.
+            fmt = "png" if (uid * 2654435761 % 2**32) / 2**32 < png_frac else "raw"
             rows.append(
                 (
                     f"img_{uid:08d}",
@@ -162,7 +170,7 @@ def gen_corpus(
                     portals[hi],
                     w,
                     h,
-                    "raw",
+                    fmt,
                     caption,
                     status,
                     transient,

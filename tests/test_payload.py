@@ -30,9 +30,73 @@ def test_decode_size_mismatch():
 
 def test_unsupported_codec_stubbed():
     with pytest.raises(NotImplementedError):
-        encode_payload(pixels_for("a", 32, 32), "png")
+        encode_payload(pixels_for("a", 32, 32), "jpeg")
     with pytest.raises(NotImplementedError):
         decode_payload(b"", 32, 32, "jpeg")
+
+
+def test_png_roundtrip_all_encoder_filters():
+    from crawler_spark.functions.payload import decode_png, encode_png
+
+    px = pixels_for("img_png", 37, 23)  # odd dims: no stride alignment luck
+    for ft in (0, 1, 2):
+        assert np.array_equal(decode_png(encode_png(px, filter_type=ft)), px), ft
+    # payload API + fmt-invariant phash
+    back = decode_payload(encode_payload(px, "png"), 37, 23, "png")
+    assert np.array_equal(back, px)
+    assert phash64(back) == phash64(px)
+
+
+def test_png_decodes_average_and_paeth_filters():
+    """Foreign-encoder coverage: scanlines filtered with types 3/4 by
+    an independent forward filter (RFC 2083 definitions written out
+    here, not shared with the decoder) must reconstruct exactly."""
+    import struct
+    import zlib as _zlib
+
+    from crawler_spark.functions.payload import _PNG_SIG, _png_chunk, decode_png
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    px = pixels_for("img_filters", 19, 11)
+    h, w = px.shape[:2]
+    flat = px.reshape(h, w * 3).astype(int)
+    for ft in (3, 4):
+        scan = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+        scan[:, 0] = ft
+        for y in range(h):
+            for x in range(w * 3):
+                a = flat[y, x - 3] if x >= 3 else 0
+                b = flat[y - 1, x] if y >= 1 else 0
+                c = flat[y - 1, x - 3] if (y >= 1 and x >= 3) else 0
+                pred = (a + b) // 2 if ft == 3 else paeth(a, b, c)
+                scan[y, 1 + x] = (flat[y, x] - pred) % 256
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(scan.tobytes()))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(data), px), ft
+
+
+def test_png_rejects_corruption_and_bad_dims():
+    from crawler_spark.functions.payload import encode_png
+
+    px = pixels_for("img_corrupt", 16, 16)
+    good = encode_png(px)
+    bad = bytearray(good)
+    bad[50] ^= 0xFF
+    with pytest.raises(ValueError):  # CRC catches the flipped byte
+        decode_payload(bytes(bad), 16, 16, "png")
+    with pytest.raises(ValueError):  # header dims vs expected dims
+        decode_payload(good, 17, 16, "png")
+    with pytest.raises(ValueError):  # not a png at all
+        decode_payload(b"\x89PNGnope" + b"\x00" * 40, 16, 16, "png")
 
 
 def test_phash_deterministic_and_discriminative():
@@ -80,3 +144,52 @@ def test_fetch_and_parse_udfs(spark):
         assert r["psnr_db"] >= 40.0  # lossless raw -> sentinel 99.0
         local = phash64(pixels_for(r["image_id"], r["w"], r["h"]))
         assert r["phash"] == local
+
+
+def test_png_frac_zero_leaves_corpus_byte_identical():
+    """png_frac must not consume the corpus RNG stream: at 0.0 the
+    generated corpus is byte-identical to one generated before the
+    parameter existed (golden-pinned corpora depend on this)."""
+    from crawler_spark.sources.synth import gen_corpus
+
+    a = gen_corpus(n_pages=120, n_hosts=3, urlset_size=40)
+    b = gen_corpus(n_pages=120, n_hosts=3, urlset_size=40, png_frac=0.0)
+    for k in a:
+        pd.testing.assert_frame_equal(a[k], b[k])
+
+
+def test_engine_crawls_mixed_raw_png_corpus(spark, tmp_path_factory):
+    """End-to-end: a corpus whose payloads are a raw/png mix crawls to
+    the same stored set, and every stored phash equals the ground-truth
+    pixels' phash regardless of wire format (fmt-invariance of the
+    decode/validate stage)."""
+    from crawler_spark.operators.frontier import CrawlEngine
+    from crawler_spark.sources.synth import corpus_to_spark, gen_corpus
+    from crawler_spark.storage import SnapshotCatalog
+
+    pdfs = gen_corpus(
+        n_pages=150, n_hosts=3, urlset_size=40, fault_frac=0.0, png_frac=0.5
+    )
+    fmts = set(pdfs["seed_pages"]["fmt"])
+    assert fmts == {"raw", "png"}, fmts
+    corpus = corpus_to_spark(spark, pdfs)
+    eng = CrawlEngine(
+        spark,
+        SnapshotCatalog(spark, str(tmp_path_factory.mktemp("png_wh"))),
+        seed_pages=corpus["seed_pages"],
+        sitemap_entries=corpus["sitemap_entries"],
+        robots_rules=corpus["robots_rules"],
+        keywords=corpus["keywords"],
+        round_duration=3600.0,
+    )
+    eng.bootstrap()
+    eng.run(max_rounds=10)
+    stored = eng.pages().select("image_id", "fmt", "phash", "w", "h").collect()
+    assert eng.pending_count() == 0
+    by_fmt = {"raw": 0, "png": 0}
+    for r in stored:
+        by_fmt[r["fmt"]] += 1
+        assert r["phash"] == phash64(
+            pixels_for(r["image_id"], int(r["w"]), int(r["h"]))
+        ), r["image_id"]
+    assert by_fmt["raw"] > 0 and by_fmt["png"] > 0, by_fmt
