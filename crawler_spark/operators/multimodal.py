@@ -6,7 +6,8 @@ plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
 partition sizing — is fully real and tested. 'raw' RGB payloads
 decode with numpy, 'png' with the real stdlib-zlib codec in
 functions/payload.py (all five scanline filters, CRC-checked), and
-'pcm16' audio with numpy; jpeg/mp3/video raise NotImplementedError
+'pcm16'/'wav' audio with numpy + a stdlib RIFF chunk parser
+(decode_wav); jpeg/mp3/video raise NotImplementedError
 exactly where a libjpeg/ffmpeg call would go (this container ships
 no DCT/Huffman codec libraries).
 
@@ -150,6 +151,57 @@ def decode_pcm(data: bytes, n_channels: int) -> np.ndarray:
     return arr.reshape(-1, n_channels)
 
 
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """(n_samples, n_channels) int16 -> a canonical RIFF/WAVE file."""
+    import struct
+
+    if pcm.ndim != 2 or pcm.dtype != np.dtype("<i2"):
+        pcm = np.asarray(pcm, dtype="<i2").reshape(len(pcm), -1)
+    n_ch = pcm.shape[1]
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE (PCM, 16-bit) -> ((n_samples, n_channels) int16, rate).
+
+    A real stdlib-only container parser, the audio twin of the PNG
+    codec in functions/payload.py: walks RIFF chunks (any order,
+    unknown chunks skipped, word-aligned), validates the fmt chunk
+    (format tag 1 = PCM, 16 bits/sample), and returns the data chunk
+    reshaped by the container's OWN channel count. Compressed codecs
+    (mp3/ogg/flac) stay NotImplementedError — no codec libs here.
+    """
+    import struct
+
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n_ch, rate, bits, pcm_bytes = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        tag = bytes(data[pos : pos + 4])
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = bytes(data[pos + 8 : pos + 8 + length])
+        if len(payload) != length:
+            raise ValueError(f"truncated WAVE chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt_tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", payload[:16])
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAVE format {fmt_tag}/{bits}-bit unsupported (PCM 16-bit only)"
+                )
+        elif tag == b"data":
+            pcm_bytes = payload
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if n_ch is None or pcm_bytes is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    return decode_pcm(pcm_bytes, int(n_ch)), int(rate)
+
+
 def audio_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
     """Decode + feature-extract audio payloads via mapInPandas.
 
@@ -174,11 +226,19 @@ def audio_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
                 out["sample_rate"].append(int(rate))
                 out["n_channels"].append(int(nch))
                 try:
-                    if fmt != "pcm16":
+                    if fmt == "pcm16":
+                        pcm = decode_pcm(bytes(data), int(nch))
+                    elif fmt == "wav":
+                        pcm, wav_rate = decode_wav(bytes(data))
+                        if wav_rate != int(rate) or pcm.shape[1] != int(nch):
+                            raise ValueError(
+                                f"WAVE header ({wav_rate} Hz, {pcm.shape[1]} ch) "
+                                f"!= metadata ({int(rate)} Hz, {int(nch)} ch)"
+                            )
+                    else:
                         raise NotImplementedError(
                             f"audio codec {fmt!r} unavailable in this environment"
                         )
-                    pcm = decode_pcm(bytes(data), int(nch))
                     mono = pcm.astype(np.float64).mean(axis=1)
                     n = len(mono)
                     signs = mono[1:] * mono[:-1]

@@ -89,3 +89,50 @@ def test_audio_features_pcm(spark):
     assert s["rms"] == 0.0 and s["peak"] == int(np.max(np.abs(ref)))
     assert out["a_bad"]["decode_ok"] == 0 and out["a_bad"]["rms"] is None
     assert out["a_mp3"]["decode_ok"] == 0  # codec stub path
+
+
+def test_wav_container_roundtrip_and_features(spark):
+    """'wav' is a REAL modality: stdlib RIFF parse, chunk skipping,
+    header-vs-metadata cross-check, identical features to the same
+    samples shipped as bare pcm16."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    mono = np.frombuffer(mm.synth_pcm("au_9", n_samples=800), dtype="<i2").reshape(-1, 1)
+    wav = mm.encode_wav(mono, 8000)
+    # pure decode round-trip
+    pcm, rate = mm.decode_wav(wav)
+    assert rate == 8000 and np.array_equal(pcm, mono)
+    # an unknown odd-length chunk before fmt must be skipped (word-aligned)
+    junk = b"LIST" + struct.pack("<I", 3) + b"xyz\x00"
+    wav_junk = wav[:12] + junk + wav[12:]
+    wav_junk = b"RIFF" + struct.pack("<I", len(wav_junk) - 8) + wav_junk[8:]
+    pcm2, _ = mm.decode_wav(wav_junk)
+    assert np.array_equal(pcm2, mono)
+
+    rows = pd.DataFrame(
+        {
+            "audio_id": ["w_ok", "w_junk", "w_mismatch", "p_ref"],
+            "bytes": [wav, wav_junk, wav, mono.tobytes()],
+            "sample_rate": [8000, 8000, 44100, 8000],  # w_mismatch lies
+            "n_channels": [1, 1, 1, 1],
+            "fmt": ["wav", "wav", "wav", "pcm16"],
+        }
+    )
+    out = {r["audio_id"]: r for r in mm.audio_features(spark.createDataFrame(rows)).collect()}
+    ref = out["p_ref"]
+    for aid in ("w_ok", "w_junk"):
+        got = out[aid]
+        assert got["decode_ok"] == 1, aid
+        for k in ("n_samples", "duration_s", "rms", "peak", "zcr"):
+            assert got[k] == ref[k], (aid, k)
+    # container header contradicting the metadata column degrades that row
+    assert out["w_mismatch"]["decode_ok"] == 0
+    # non-PCM format tag is the explicit NotImplementedError path
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    bad = b"RIFF" + struct.pack("<I", 4 + 8 + len(float_fmt)) + b"WAVE"
+    bad += b"fmt " + struct.pack("<I", len(float_fmt)) + float_fmt
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(bad)
