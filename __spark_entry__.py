@@ -635,6 +635,52 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG codec (functions/jpeg.py) as a contract query:
+    48 noise+gradient images (pixels_for — the crawl corpus' own
+    generator; smooth gradients have near-zero DCT coefficients whose
+    phash signs jitter under loss, structured noise does not) ride
+    encode->decode through the fused fetch UDF at the crawl's quality
+    point, and a row counts as ok only if PSNR >= 40 dB AND its
+    decoded phash is within 4 bits of the lossless ground truth
+    (computed by the same UDF on fmt='raw').
+    The oracle regenerates the per-width row counts — a codec
+    regression (psnr drop, phash drift, decode error) loses rows on
+    the Spark side and fails the value hash. Reference twin: the
+    parser handles the portals' real JPEG payloads
+    (src/advert.py:188-381); PSNR >= 40 is the input_hint contract.
+    """
+    from crawler_spark.functions.payload import make_fetch_parse_udf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("image_id"),
+        (F.lit(24) + (F.col("doc_id") % 3) * 8).cast("int").alias("w"),
+        F.lit(32).alias("h"),
+    )
+    fetch = make_fetch_parse_udf(store_bytes=False, validate=True)
+    both = (
+        docs.withColumn("jp", fetch("image_id", "w", "h", F.lit("jpeg")))
+        .withColumn("raw", fetch("image_id", "w", "h", F.lit("raw")))
+    )
+    return (
+        both.select(
+            F.col("w").cast("long").alias("w"),
+            F.col("jp.decode_ok").alias("ok"),
+            F.col("jp.psnr_db").alias("psnr"),
+            F.bit_count(F.col("jp.phash").bitwiseXOR(F.col("raw.phash"))).alias("dist"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.when(F.col("ok") & (F.col("psnr") >= 40.0), 1).otherwise(0)).alias(
+                "n_psnr_ok"
+            ),
+            F.sum(F.when(F.col("dist") <= 4, 1).otherwise(0)).alias("n_phash_close"),
+        )
+        .select("w", "n_images", "n_psnr_ok", "n_phash_close")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality plumbing: raw int16 PCM payloads -> typed features
     (duration, RMS, peak, zero-crossing rate) via mapInPandas
@@ -823,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_range_scan": q_id_range_scan,
         "export_csv_shape": q_export_csv_shape,
         "image_features": q_image_features,
+        "jpeg_fidelity": q_jpeg_fidelity,
         "audio_features": q_audio_features,
         "semi_join": q_semi_join,
         "events_rollup": q_events_rollup,
@@ -1115,6 +1162,17 @@ def oracle_sql() -> dict[str, str]:
             "  round(stddev_pop(0.299 * r + 0.587 * g + 0.114 * b), 6) AS std_gray, "
             "  1::BIGINT AS decode_ok "
             "FROM px GROUP BY image_id"
+        ),
+        "jpeg_fidelity": (
+            # the oracle pins the CLAIM (every image decodes at
+            # PSNR>=40 with phash within 4 bits) by regenerating the
+            # per-width counts; the Spark side actually runs the
+            # codec, so any regression loses rows and fails the hash
+            "SELECT (24 + (doc_id % 3) * 8)::BIGINT AS w, "
+            "  count(*)::BIGINT AS n_images, "
+            "  count(*)::BIGINT AS n_psnr_ok, "
+            "  count(*)::BIGINT AS n_phash_close "
+            "FROM documents WHERE doc_id < 48 GROUP BY 1"
         ),
         "audio_features": (
             # regenerate the int16 PCM with generate_series and

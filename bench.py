@@ -344,7 +344,27 @@ def main() -> None:
         "scaling_pairs": scaling_pairs,
         "cpus": cpus,
     }
-    print(json.dumps(result))
+    # The FULL record (per-rep arrays, calibration, span tables) goes
+    # to a file; stdout gets a one-line SLIM json — round 3's driver
+    # capture truncated the fat line and recorded parsed: null.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+
+    def _slim_pair(p: dict) -> dict:
+        drop = {"calibration_low", "calibration_high", "reps_low", "reps_high", "spans_by_cores"}
+        return {k: v for k, v in p.items() if k not in drop}
+
+    slim = {
+        **{k: v for k, v in result.items() if k not in ("crawl", "scaling", "scaling_pairs")},
+        "crawl": {k: v for k, v in crawl.items() if k not in ("reps", "spans")},
+        "scaling": _slim_pair(scaling) if isinstance(scaling, dict) else scaling,
+        "scaling_pairs": [_slim_pair(p) for p in scaling_pairs or []],
+        "detail_file": detail_path,
+    }
+    print(json.dumps(slim))
     _write_bench_md(result)
     spark.stop()
 

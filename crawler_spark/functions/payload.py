@@ -5,13 +5,14 @@ field extraction (src/advert.py:188-285 Karriere, 288-381 Stepstone):
 payload bytes in, struct of derived/validated fields out, executed as
 Arrow-batched pandas UDFs (never per-row Python in the plan).
 
-Formats: 'raw' (uncompressed RGB, w*h*3 uint8) and 'png' (8-bit RGB,
-non-interlaced — a real, dependency-free codec on stdlib zlib: all
-five scanline filters on decode, CRC-validated chunks) are fully
-implemented. 'jpeg' decode remains STUBBED behind
-NotImplementedError — a DCT/Huffman codec library is not available in
-this container; the Spark-side plumbing (schema, batching, UDF
-signatures) is identical for it.
+Formats — all three fully implemented, dependency-free:
+- 'raw': uncompressed RGB, w*h*3 uint8.
+- 'png' (8-bit RGB, non-interlaced): stdlib-zlib codec, all five
+  scanline filters on decode, CRC-validated chunks.
+- 'jpeg' (baseline sequential JFIF): numpy/stdlib codec in
+  functions/jpeg.py — Annex K tables, 4:4:4 encode at quality 98
+  (PSNR >= 40 dB on the worst-case noise corpus), decode handles
+  4:2:0/4:2:2/grayscale and restart markers from standard encoders.
 """
 
 from __future__ import annotations
@@ -78,14 +79,25 @@ def pixels_gradient(image_id: str, w: int, h: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+# JPEG payloads encode at quality 98: the fidelity contract is
+# PSNR >= 40 dB vs ground truth (input_hint), and the synthetic
+# corpus' noise+gradient images measure ~43 dB at q=98 (noise is the
+# worst case for a DCT codec; smooth content scores higher).
+JPEG_QUALITY = 98
+
+
 def encode_payload(pixels: np.ndarray, fmt: str = "raw") -> bytes:
     if fmt == "raw":
         return pixels.tobytes()
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "jpeg":
+        from crawler_spark.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(pixels, quality=JPEG_QUALITY)
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no image libs); "
-        "'raw' and 'png' are the supported interchange formats"
+        "'raw', 'png' and 'jpeg' are the supported interchange formats"
     )
 
 
@@ -99,6 +111,15 @@ def decode_payload(data: bytes, w: int, h: int, fmt: str = "raw") -> np.ndarray:
         px = decode_png(data)
         if px.shape != (h, w, 3):
             raise ValueError(f"png dims {px.shape[1]}x{px.shape[0]} != expected {w}x{h}")
+        return px
+    if fmt == "jpeg":
+        from crawler_spark.functions.jpeg import decode_jpeg
+
+        px = decode_jpeg(data)
+        if px.shape != (h, w, 3):
+            raise ValueError(
+                f"jpeg dims {px.shape[1]}x{px.shape[0]} != expected {w}x{h}"
+            )
         return px
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no image libs)"
@@ -167,9 +188,11 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = bytes(data[pos + 4 : pos + 8])
-        payload = bytes(data[pos + 8 : pos + 8 + length])
-        if len(payload) != length:
+        # the 4 CRC bytes must be present too: a PNG truncated between
+        # a chunk payload and its CRC is a ValueError, not struct.error
+        if pos + 12 + length > len(data):
             raise ValueError(f"truncated chunk {tag!r}")
+        payload = bytes(data[pos + 8 : pos + 8 + length])
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in chunk {tag!r}")
@@ -313,12 +336,30 @@ FETCH_PARSE_SCHEMA = StructType(
 )
 
 
-def make_fetch_parse_udf(store_bytes: bool = True, validate: bool = True, pixel_fn=None):
+def make_fetch_parse_udf(
+    store_bytes: bool = True, validate: bool = True, pixel_fn=None, fetch_fn=None
+):
     """Fused fetch+decode+validate UDF: one Arrow pass per batch.
 
     ``pixel_fn`` selects the synthetic ground-truth generator
     (default pixels_for; pixels_gradient gives the SQL-reproducible
     pattern used by the DuckDB feature oracle).
+
+    ``fetch_fn`` is THE REAL-HTTP INSERTION POINT. Signature
+    ``(image_id, w, h, fmt) -> bytes``; when given, it replaces the
+    synthetic encode step and its bytes flow into the same decode /
+    phash / validate path. A production fetcher plugs in here as a
+    partition-local callable — e.g. a class whose ``__call__`` wraps
+    ``requests.Session.get`` and whose instance state carries the
+    session's cookie jar across calls within the partition, updates
+    the referer from the last same-host fetch, and re-decodes the
+    body with the response's apparent encoding before handing bytes
+    on — the reference's per-thread fetch behavior
+    (src/harvester.py:412-442: cookie-jar update, referer capture,
+    apparent_encoding re-decode) mapped onto one Python worker per
+    partition. The sandbox has no network, so tests exercise the seam
+    with a mock fetcher (tests/test_payload.py); ``validate`` stays
+    meaningful only when ground truth exists.
 
     Fusing matters at scale: payload bytes are the widest column in
     the pipeline (KB-MB per row); two chained pandas UDFs would ship
@@ -345,7 +386,10 @@ def make_fetch_parse_udf(store_bytes: bool = True, validate: bool = True, pixel_
         psnrs: list[float | None] = []
         for iid, ww, hh, ff in zip(image_id, w, h, fmt):
             try:
-                data = encode_payload(gen(iid, int(ww), int(hh)), ff)
+                if fetch_fn is not None:
+                    data = fetch_fn(iid, int(ww), int(hh), ff)
+                else:
+                    data = encode_payload(gen(iid, int(ww), int(hh)), ff)
                 px = decode_payload(data, int(ww), int(hh), ff)
                 byts.append(data if store_bytes else None)
                 phashes.append(phash64(px))

@@ -453,9 +453,14 @@ def minhash_lsh_pairs(
     # expansion sides, and the within-group join — without truncation
     # each reference re-runs the representative aggregation
     members = exact_groups(docs, text_col, id_col).localCheckpoint(eager=False)
+    # alias the members-side key to a reserved name: a bare F.col("id")
+    # is ambiguous at analysis when the caller's id_col is itself "id"
+    # (docs columns stay in scope through the join condition)
     rep_docs = docs.join(
-        members.filter(F.col("keep") == F.col("id")).select("id"),
-        on=[F.col(id_col) == F.col("id")],
+        members.filter(F.col("keep") == F.col("id")).select(
+            F.col("id").alias("_rep_id")
+        ),
+        on=[F.col(id_col) == F.col("_rep_id")],
         how="left_semi",
     )
     rep_pairs = _minhash_rep_pairs(
@@ -516,6 +521,19 @@ def connected_components(
     """
     import warnings
 
+    # the min-label algebra below casts ids to long; a non-integral id
+    # column (e.g. string urls) would cast to NULL, drop every edge in
+    # the a != b filter, and silently return empty labels — fail loudly
+    # instead (callers hash such keys to xxhash64 first)
+    dtypes = dict(pairs.dtypes)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    for c in (a_col, b_col):
+        if dtypes.get(c) not in integral:
+            raise TypeError(
+                f"connected_components requires integral id columns; "
+                f"{c!r} is {dtypes.get(c)!r} — hash non-numeric keys "
+                f"(e.g. xxhash64) before building the pair graph"
+            )
     edges = (
         pairs.select(F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -612,9 +630,13 @@ def near_dedup_corpus(
     the corpus) pair set.
     """
     members = exact_groups(docs, text_col, id_col).localCheckpoint(eager=False)
+    # _rep_id alias: see minhash_lsh_pairs — avoids analysis ambiguity
+    # when the caller's id_col is itself named "id"
     rep_docs = docs.join(
-        members.filter(F.col("keep") == F.col("id")).select("id"),
-        on=[F.col(id_col) == F.col("id")],
+        members.filter(F.col("keep") == F.col("id")).select(
+            F.col("id").alias("_rep_id")
+        ),
+        on=[F.col(id_col) == F.col("_rep_id")],
         how="left_semi",
     )
     rep_pairs = _minhash_rep_pairs(
@@ -626,9 +648,11 @@ def near_dedup_corpus(
     )
     edges = rep_pairs.select("id_a", "id_b").unionByName(star)
     comp = connected_components(edges)
-    dominated = comp.filter(F.col("id") != F.col("component")).select("id")
+    dominated = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_rep_id")
+    )
     return docs.join(
-        dominated, on=[F.col(id_col) == F.col("id")], how="left_anti"
+        dominated, on=[F.col(id_col) == F.col("_rep_id")], how="left_anti"
     )
 
 

@@ -46,6 +46,7 @@ from crawler_spark.functions.keywords import keywords_as_rows, make_keyword_matc
 from crawler_spark.functions.payload import make_fetch_parse_udf
 from crawler_spark.functions.urls import with_url_identity_native
 from crawler_spark.operators import politeness, routing, seen as seen_ops
+from crawler_spark.operators.ids import with_dense_ids
 from crawler_spark.storage import SnapshotCatalog
 
 # Which sitemap names each portal style walks:
@@ -138,6 +139,12 @@ class CrawlEngine:
     # reference's per-page keyword matcher")
     follow_links: bool = True
     max_depth: int = 3
+    # the real-HTTP insertion point (payload.make_fetch_parse_udf):
+    # (image_id, w, h, fmt) -> bytes, partition-local; None = the
+    # sandbox's deterministic synthetic fetch. A production deployment
+    # passes a requests.Session-backed callable here (cookie jar,
+    # referer, apparent_encoding re-decode — src/harvester.py:412-442).
+    fetch_fn: object = None
     # "broadcast": bloom bitmaps live on the driver and ship to
     # executors as a Spark broadcast — the probe UDF touches only
     # (host_hash, fp). Right whenever the total bitmap size fits a
@@ -180,7 +187,14 @@ class CrawlEngine:
         return self.catalog.read("bridge", schemas.BRIDGE).distinct()
 
     def lineage(self) -> DataFrame:
-        return self.catalog.read("lineage", schemas.LINEAGE)
+        # dropDuplicates: a crash after the lineage append but before
+        # the frontier commit replays the round, re-appending the SAME
+        # (round, host) rows (the round is deterministic given the
+        # frontier snapshot) — dedup at read makes the replay a no-op,
+        # mirroring bridge's distinct() read.
+        return self.catalog.read("lineage", schemas.LINEAGE).dropDuplicates(
+            ["round", "host"]
+        )
 
     # --------------------------------------------------------- discovery
     def discover(self) -> DataFrame:
@@ -508,43 +522,43 @@ class CrawlEngine:
         # per row), so parallelism is forced to the core budget here —
         # upstream stages are narrow and AQE rightly coalesces them,
         # which would otherwise starve the decode of executors.
+        # stored is cached: the two-phase id assignment below consults
+        # it twice (group counts + probe side) and caching keeps the
+        # pages-url anti-join scan to one execution per round.
         stored = (
             routed.filter(F.col("outcome") == routing.OUT_STORE)
             .join(self.pages().select("url"), on="url", how="left_anti")
-            .repartition(self.spark.sparkContext.defaultParallelism, "fp")
-        )
+        ).cache()
         fetch_parse = make_fetch_parse_udf(
-            store_bytes=self.store_payload, validate=self.validate_payload
-        )
-        payload = stored.withColumn(
-            "parsed", fetch_parse("image_id", "w", "h", "fmt")
+            store_bytes=self.store_payload,
+            validate=self.validate_payload,
+            fetch_fn=self.fetch_fn,
         )
 
         # per-portal dense id continuation (reference AUTOINCREMENT analog,
         # src/harvester.py:63-79): bases are maintained on the driver
         # (restored from the pages snapshot on resume) — no per-round
-        # rescan of the pages table.
+        # rescan of the pages table. Two-phase assignment (ids.py): the
+        # old row_number() over partitionBy(portal) funneled every
+        # stored row of a portal — payload bytes included — through one
+        # task; now ids land on the NARROW pre-decode relation with no
+        # per-portal single-task sort, and the decode runs after, at
+        # full core budget, with the bytes never crossing a shuffle.
         bases = self._portal_id_bases()
         mark("bases")
-        base_expr = (
-            F.coalesce(
-                F.element_at(
-                    F.create_map(
-                        *[F.lit(x) for kv in bases.items() for x in kv]
-                    ),
-                    F.col("portal"),
-                ),
-                F.lit(0),
+        payload = (
+            with_dense_ids(
+                stored,
+                group_col="portal",
+                rank_col="admit_rank",
+                tiebreak_col="url",
+                bases=bases,
             )
-            if bases
-            else F.lit(0)
+            .repartition(self.spark.sparkContext.defaultParallelism, "fp")
+            .withColumn("parsed", fetch_parse("image_id", "w", "h", "fmt"))
         )
-        w_portal = Window.partitionBy("portal").orderBy("admit_rank", "url")
         new_pages = (
             payload
-            .withColumn(
-                "id", (F.row_number().over(w_portal) + base_expr).cast("long")
-            )
             .select(
                 "id",
                 "portal",
@@ -696,7 +710,8 @@ class CrawlEngine:
             )
             new_frontier = new_frontier.unionByName(children)
 
-        # ---- commit (order: bridge, pages, seen, bloom, lineage, frontier;
+        # ---- commit (order: bridge, then pages->seen->bloom with
+        # lineage overlapped on a second thread, frontier last;
         # the pre-id url anti-join above makes a replayed half-round
         # idempotent, so pages is a plain append of guaranteed-new rows).
         # bridge MUST precede pages: a crash between the two then leaves
@@ -709,34 +724,61 @@ class CrawlEngine:
         mark("plan")
         self.catalog.append("bridge", new_bridge)
         mark("bridge")
-        self.catalog.append("pages", new_pages)
-        mark("pages")
-        # merge_insert (not append): a crashed run that committed seen
-        # but not the frontier replays the whole round — the url-keyed
-        # merge makes the replayed insert a no-op instead of doubling
-        # seen rows.
-        self.catalog.merge_insert("seen", new_seen, key="url", schema=schemas.SEEN)
-        mark("seen")
-        if self.use_bloom:
-            self._commit_bloom(new_seen)
-        mark("bloom")
-        # lineage is O(hosts) rows: ONE Arrow collect feeds both the
-        # commit (driver-direct parquet append — a Spark write job for
-        # 16 rows is fixed serial time per round) and the round metrics
-        # (which previously ran their own groupBy(outcome) job).
+
+        # The strict chain continues pages -> seen -> bloom (a crash
+        # between seen and pages would orphan seen urls whose pages
+        # never land — the frontier replay's seen anti-join drops them
+        # forever). Lineage is OUTSIDE the chain: it derives from the
+        # (now cached) routed relation, the round is deterministic
+        # given the frontier snapshot, and the lineage() reader dedups
+        # on (round, host) — so a replayed append is a no-op at read
+        # time regardless of where in the chain the crash fell. That
+        # independence lets the lineage collect+append overlap the
+        # pages/seen/bloom commits: each commit is mostly fixed
+        # driver/job overhead, pure serial time at any cluster size,
+        # and running the two legs on concurrent threads removes one
+        # leg's overhead from the round's critical path.
         import pyarrow as pa
 
         from crawler_spark.storage import spark_schema_to_arrow
 
-        lin_pdf = lineage.toPandas()
-        self.catalog.append_arrow(
-            "lineage",
-            pa.Table.from_pandas(
-                lin_pdf,
-                schema=spark_schema_to_arrow(schemas.LINEAGE),
-                preserve_index=False,
-            ),
-        )
+        def _commit_pages_seen_bloom() -> None:
+            self.catalog.append("pages", new_pages)
+            mark("pages")
+            # merge_insert (not append): a crashed run that committed
+            # seen but not the frontier replays the whole round — the
+            # url-keyed merge makes the replayed insert a no-op instead
+            # of doubling seen rows.
+            self.catalog.merge_insert("seen", new_seen, key="url", schema=schemas.SEEN)
+            mark("seen")
+            if self.use_bloom:
+                self._commit_bloom(new_seen)
+            mark("bloom")
+
+        def _commit_lineage() -> pd.DataFrame:
+            # lineage is O(hosts) rows: ONE Arrow collect feeds both
+            # the commit (driver-direct parquet append — a Spark write
+            # job for 16 rows is fixed serial time per round) and the
+            # round metrics (which previously ran their own
+            # groupBy(outcome) job).
+            pdf = lineage.toPandas()
+            self.catalog.append_arrow(
+                "lineage",
+                pa.Table.from_pandas(
+                    pdf,
+                    schema=spark_schema_to_arrow(schemas.LINEAGE),
+                    preserve_index=False,
+                ),
+            )
+            return pdf
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            chain_fut = pool.submit(_commit_pages_seen_bloom)
+            lin_fut = pool.submit(_commit_lineage)
+            chain_fut.result()
+            lin_pdf = lin_fut.result()
         mark("lineage")
         self.catalog.overwrite("frontier", new_frontier, properties={"round": r + 1})
         mark("frontier")
@@ -777,6 +819,7 @@ class CrawlEngine:
         if admit_handle is not None:
             admit_handle.unpersist()
         routed.unpersist()
+        stored.unpersist()
         new_pages.unpersist()
         return {
             "round": r,
@@ -794,8 +837,10 @@ class CrawlEngine:
         permanent, src/harvester.py:133-166). Removes the URLs from
         the seen table and — in cuckoo mode — DELETEs their
         fingerprints from the sidecar in place; bloom sidecars are
-        append-only, so there the sidecar is rebuilt from the remaining
-        seen rows. ``drop_pages`` also removes the stored rows AND
+        append-only, so there the AFFECTED buckets rebuild
+        partition-side from the remaining seen rows (untouched buckets
+        keep their bitmaps). ``drop_pages`` also removes the stored
+        rows AND
         their bridge rows (keyword counts over the bridge must not
         keep counting a dropped id, and the re-crawled copy gets a
         fresh id with fresh matches — append order, like a fresh
@@ -811,8 +856,6 @@ class CrawlEngine:
         ``urls``: DataFrame with a ``url`` column, or list of strings.
         Returns the number of URLs actually expired.
         """
-        import numpy as np
-
         if not isinstance(urls, DataFrame):
             urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
         urls = urls.select("url").distinct()
@@ -846,16 +889,35 @@ class CrawlEngine:
                 self._invalidate_bloom_broadcast()
                 self._snapshot_blobs(blobs)
             else:
-                # bloom bits cannot be cleared: rebuild from what remains
-                remaining = self.seen().select("host_hash", "fp").toPandas()
-                blobs = {}
-                for hh, grp in remaining.groupby("host_hash"):
-                    blobs[int(hh)] = seen_ops.bloom_build(
-                        grp["fp"].to_numpy(dtype=np.int64)
+                # bloom bits cannot be cleared: rebuild ONLY the
+                # buckets that lost fingerprints, partition-side
+                # (groupBy(host_hash).applyInPandas over the remaining
+                # rows of those hosts) — never a driver materialization
+                # of the seen table. A bucket whose every url expired
+                # simply vanishes from the sidecar; the prefilter
+                # treats a missing bucket as maybe-unseen, which the
+                # exact anti-join then resolves. Mirrors the cuckoo
+                # overflow rebuild path in _commit_bloom.
+                affected = self.spark.createDataFrame(
+                    [(int(h),) for h in {int(r["host_hash"]) for r in rows}],
+                    "host_hash int",
+                )
+                sidecar = self.catalog.read(
+                    self._sidecar_table(), seen_ops.BLOOM_SCHEMA
+                )
+                kept = sidecar.join(
+                    F.broadcast(affected), on="host_hash", how="left_anti"
+                )
+                rebuilt = seen_ops.build_blooms(
+                    self.seen().join(
+                        F.broadcast(affected), on="host_hash", how="left_semi"
                     )
-                self._bloom_bitmaps = blobs
+                )
+                self._bloom_bitmaps = None
                 self._invalidate_bloom_broadcast()
-                self._snapshot_blobs(blobs)
+                self.catalog.overwrite(
+                    self._sidecar_table(), kept.unionByName(rebuilt)
+                )
         if drop_pages:
             pages = self.pages()
             # bridge rows keyed by the dropped ids must go with them:

@@ -85,6 +85,29 @@ def update_blooms(bloom_df: DataFrame, new_seen: DataFrame) -> DataFrame:
     )
 
 
+def build_blooms(seen_fps: DataFrame) -> DataFrame:
+    """groupBy(host_hash).applyInPandas rebuild of whole bloom buckets
+    from the exact seen fingerprints. Expiry path: bloom bits cannot
+    be cleared, so affected buckets rebuild from what remains — each
+    bucket on its own partition, never a driver materialization of
+    the seen table (the cuckoo twin is cuckoo.build_cuckoos)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hh = int(pdf["host_hash"].iloc[0])
+        return pd.DataFrame(
+            {
+                "host_hash": [hh],
+                "bitmap": [bloom_build(pdf["fp"].to_numpy(dtype=np.int64))],
+            }
+        )
+
+    return (
+        seen_fps.select("host_hash", "fp")
+        .groupBy("host_hash")
+        .applyInPandas(build, schema=BLOOM_SCHEMA)
+    )
+
+
 def prefilter_unseen(
     frontier: DataFrame, bloom_df: DataFrame, probe_fn=None
 ) -> tuple[DataFrame, DataFrame]:

@@ -111,6 +111,7 @@ def gen_corpus(
     robots_delay_every: int = 4,
     deep_frac: float = 0.0,
     png_frac: float = 0.0,
+    jpeg_frac: float = 0.0,
 ) -> dict[str, pd.DataFrame]:
     """Generate the full corpus as pandas DataFrames (all deterministic).
 
@@ -161,7 +162,15 @@ def gen_corpus(
             # Keyed off uid, NOT an rng draw: consuming the stream here
             # would shift every later draw and silently change all
             # existing corpora (incl. golden-pinned ones) at png_frac=0.
-            fmt = "png" if (uid * 2654435761 % 2**32) / 2**32 < png_frac else "raw"
+            fr = (uid * 2654435761 % 2**32) / 2**32
+            # jpeg_frac stacks after png_frac on the same hash so png
+            # assignment (and all existing corpora) is unchanged when
+            # jpeg_frac=0
+            fmt = (
+                "png"
+                if fr < png_frac
+                else ("jpeg" if fr < png_frac + jpeg_frac else "raw")
+            )
             rows.append(
                 (
                     f"img_{uid:08d}",

@@ -29,10 +29,12 @@ def test_decode_size_mismatch():
 
 
 def test_unsupported_codec_stubbed():
+    # jpeg graduated to a real codec in round 4 (functions/jpeg.py);
+    # formats with no env support still raise honestly
     with pytest.raises(NotImplementedError):
-        encode_payload(pixels_for("a", 32, 32), "jpeg")
+        encode_payload(pixels_for("a", 32, 32), "webp")
     with pytest.raises(NotImplementedError):
-        decode_payload(b"", 32, 32, "jpeg")
+        decode_payload(b"", 32, 32, "webp")
 
 
 def test_png_roundtrip_all_encoder_filters():
@@ -193,3 +195,118 @@ def test_engine_crawls_mixed_raw_png_corpus(spark, tmp_path_factory):
             pixels_for(r["image_id"], int(r["w"]), int(r["h"]))
         ), r["image_id"]
     assert by_fmt["raw"] > 0 and by_fmt["png"] > 0, by_fmt
+
+
+def test_engine_crawls_mixed_raw_png_jpeg_corpus(spark, tmp_path_factory):
+    """End-to-end: payloads arrive as a raw/png/jpeg mix; every stored
+    page decodes (its wire format notwithstanding) with phash within a
+    few bits of the ground truth (jpeg is lossy at quality 98; raw and
+    png are exact)."""
+    from crawler_spark.operators.frontier import CrawlEngine
+    from crawler_spark.sources.synth import corpus_to_spark, gen_corpus
+    from crawler_spark.storage import SnapshotCatalog
+
+    pdfs = gen_corpus(
+        n_pages=120,
+        n_hosts=3,
+        urlset_size=40,
+        fault_frac=0.0,
+        png_frac=0.3,
+        jpeg_frac=0.3,
+    )
+    assert set(pdfs["seed_pages"]["fmt"]) == {"raw", "png", "jpeg"}
+    corpus = corpus_to_spark(spark, pdfs)
+    eng = CrawlEngine(
+        spark,
+        SnapshotCatalog(spark, str(tmp_path_factory.mktemp("jpeg_wh"))),
+        seed_pages=corpus["seed_pages"],
+        sitemap_entries=corpus["sitemap_entries"],
+        robots_rules=corpus["robots_rules"],
+        keywords=corpus["keywords"],
+        round_duration=3600.0,
+    )
+    eng.bootstrap()
+    eng.run(max_rounds=10)
+    assert eng.pending_count() == 0
+    stored = eng.pages().select("image_id", "fmt", "phash", "w", "h", "bytes").collect()
+    by_fmt = {"raw": 0, "png": 0, "jpeg": 0}
+    for r in stored:
+        by_fmt[r["fmt"]] += 1
+        gt = phash64(pixels_for(r["image_id"], int(r["w"]), int(r["h"])))
+        d = bin(r["phash"] ^ gt).count("1")
+        if r["fmt"] == "jpeg":
+            assert d <= 4, (r["image_id"], d)
+            assert bytes(r["bytes"])[:2] == b"\xff\xd8"
+        else:
+            assert d == 0, (r["image_id"], r["fmt"])
+    assert min(by_fmt.values()) > 0, by_fmt
+
+
+def test_fetch_fn_seam_mock_fetcher_end_to_end(spark, tmp_path_factory):
+    """VERDICT r3 #7: the real-HTTP insertion point. A stateful mock
+    fetcher (cookie-jar analog: call-count header folded into the
+    payload source) plugs into make_fetch_parse_udf via
+    CrawlEngine(fetch_fn=...) and the whole crawl runs through it —
+    the exact seam where requests.Session.get + cookie jar + referer +
+    apparent_encoding re-decode land in production
+    (src/harvester.py:412-442)."""
+    from crawler_spark.operators.frontier import CrawlEngine
+    from crawler_spark.sources.synth import corpus_to_spark, gen_corpus
+    from crawler_spark.storage import SnapshotCatalog
+
+    class MockFetcher:
+        """Partition-local stateful fetcher: a session/cookie-jar
+        stand-in. Counts calls (state persists across rows within a
+        Python worker) and serves deterministic encoded payloads."""
+
+        def __init__(self):
+            self.cookie_jar = {"n": 0}  # per-worker session state
+
+        def __call__(self, image_id, w, h, fmt):
+            self.cookie_jar["n"] += 1
+            return encode_payload(pixels_for(image_id, w, h), fmt)
+
+    pdfs = gen_corpus(n_pages=80, n_hosts=2, urlset_size=40, fault_frac=0.0)
+    corpus = corpus_to_spark(spark, pdfs)
+    eng = CrawlEngine(
+        spark,
+        SnapshotCatalog(spark, str(tmp_path_factory.mktemp("seam_wh"))),
+        seed_pages=corpus["seed_pages"],
+        sitemap_entries=corpus["sitemap_entries"],
+        robots_rules=corpus["robots_rules"],
+        keywords=corpus["keywords"],
+        round_duration=3600.0,
+        fetch_fn=MockFetcher(),
+    )
+    eng.bootstrap()
+    eng.run(max_rounds=10)
+    assert eng.pending_count() == 0
+    stored = eng.pages().select("image_id", "phash", "w", "h").collect()
+    assert len(stored) == 80
+    for r in stored:  # bytes flowed through the mock, not the builtin
+        assert r["phash"] == phash64(
+            pixels_for(r["image_id"], int(r["w"]), int(r["h"]))
+        )
+
+
+def test_fetch_fn_failure_routes_like_decode_failure(spark):
+    """A fetcher raising ValueError (bad body / encoding garbage) maps
+    to decode_ok=False — the row is counted, not crashed on."""
+    from crawler_spark.functions.payload import make_fetch_parse_udf
+
+    def flaky(image_id, w, h, fmt):
+        if image_id.endswith("3"):
+            raise ValueError("connection reset mid-body")
+        return encode_payload(pixels_for(image_id, w, h), fmt)
+
+    df = spark.createDataFrame(
+        [(f"img_{i}", 16, 16, "raw") for i in range(6)],
+        "image_id string, w int, h int, fmt string",
+    )
+    udf = make_fetch_parse_udf(store_bytes=False, validate=True, fetch_fn=flaky)
+    rows = df.withColumn("p", udf("image_id", "w", "h", "fmt")).select(
+        "image_id", "p.decode_ok", "p.psnr_db"
+    ).collect()
+    got = {r["image_id"]: r["decode_ok"] for r in rows}
+    assert got == {f"img_{i}": (i != 3) for i in range(6)}
+    assert all(r["psnr_db"] >= 99.0 for r in rows if r["decode_ok"])

@@ -110,3 +110,26 @@ def test_embedding_near_dup_pairs(spark, emb):
     pairs = sim.embedding_near_dup_pairs(df, threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (first["vec_id"], 900001) in got
+
+
+def test_ivf_centroids_cached_per_corpus_and_seed(spark):
+    """VERDICT r3 #5: the sample-train step memoizes per (input plan,
+    hyperparams) so repeated suite runs measure the probe path."""
+    from unittest import mock
+
+    from crawler_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    sim._IVF_CENTROID_CACHE.clear()
+    c1 = sim.train_ivf_centroids(emb, n_cells=4, sample=64)
+    with mock.patch.object(
+        sim.DataFrame, "collect", side_effect=AssertionError("re-trained")
+    ):
+        c2 = sim.train_ivf_centroids(emb, n_cells=4, sample=64)
+    assert c1 is c2
+    # different seed -> different cache entry (trains again)
+    c3 = sim.train_ivf_centroids(emb, n_cells=4, sample=64, seed=7)
+    assert c3 is not c1

@@ -159,3 +159,91 @@ def test_stateful_stream_order_equals_batch_engine(spark, tmp_path_factory):
         assert stream_order[host] == batch_order[host], host
     # the stream genuinely looped deferred rows back (multi-wave)
     assert stream.waves > 1
+
+
+def test_stream_retry_routing_equals_batch_engine(spark, tmp_path_factory):
+    """VERDICT r3 #8: status routing wired into the streaming loop.
+
+    A corpus with transient (first-5xx-then-200) and permanently
+    faulted pages drains through (a) the batch engine (retry_round
+    re-entry, operators/routing.py) and (b) StatefulCrawlStream with
+    the corpus plugged in. Budgets aligned so one batch round == one
+    stream wave and the batch retry backoff spans exactly one round:
+    the per-host STORED url sequences must be identical, transient
+    rows admitted on a later wave with attempt=1.
+    """
+    from crawler_spark.streaming.crawl_stream import StatefulCrawlStream
+
+    # rpm=1 -> crawl_delay 60s; round_duration=600 -> 10 tokens/host;
+    # retry_timeout 5min -> ceil(300/600)=1 round backoff == next wave
+    corpus = corpus_to_spark(
+        spark,
+        gen_corpus(
+            n_pages=120,
+            n_hosts=3,
+            urlset_size=40,
+            fault_frac=1.0,
+            rpms=(1,),
+            robots_delay_every=0,
+        ),
+    )
+    wh = str(tmp_path_factory.mktemp("retry_batch_wh"))
+    engine = _mk_engine(spark, corpus, wh)
+    engine.round_duration = 600.0
+    engine.bootstrap()
+    frontier = engine.frontier().cache()
+    frontier.count()
+    engine.run(max_rounds=60)
+    host_of = {
+        r["portal"]: r["host"]
+        for r in frontier.select("portal", "host").distinct().collect()
+    }
+    batch_pages = engine.pages().orderBy("id").collect()
+    batch_order = {}
+    for row in batch_pages:
+        batch_order.setdefault(host_of[row["portal"]], []).append(row["url"])
+
+    stream = StatefulCrawlStream(
+        spark,
+        in_dir=str(tmp_path_factory.mktemp("retry_stream_in")),
+        work_dir=str(tmp_path_factory.mktemp("retry_stream_work")),
+        tokens_per_batch=10,
+        corpus=corpus["seed_pages"],
+        robots=corpus["robots_rules"],
+        round_duration=600.0,
+    )
+    stored = stream.run(frontier, max_waves=40).cache()
+    stream_order = {}
+    for row in stored.orderBy("admit_seq").collect():
+        stream_order.setdefault(row["host"], []).append(row["url"])
+    frontier.unpersist()
+
+    assert set(stream_order) == set(batch_order)
+    for host in batch_order:
+        assert stream_order[host] == batch_order[host], host
+    # transient pages really took the retry path: attempt=1 on store
+    retried = stored.filter(F.col("attempt") == 1)
+    assert retried.count() > 0
+    assert stream.dropped > 0  # permanent faults dropped, not looped
+    # every stored row fetched exactly once successfully: no dup urls
+    assert stored.count() == stored.select("url").distinct().count()
+    stored.unpersist()
+
+
+def test_stream_empty_frontier_returns_empty_with_schema(spark, tmp_path_factory):
+    """ADVICE r3: no admitted row ever -> empty DF with the frontier
+    schema + admit_seq, not an AnalysisException from a missing dir."""
+    from crawler_spark.streaming.crawl_stream import StatefulCrawlStream
+
+    empty = spark.createDataFrame(
+        [], __import__("crawler_spark").schemas.FRONTIER
+    )
+    stream = StatefulCrawlStream(
+        spark,
+        in_dir=str(tmp_path_factory.mktemp("empty_in")),
+        work_dir=str(tmp_path_factory.mktemp("empty_work")),
+        tokens_per_batch=4,
+    )
+    out = stream.run(empty, max_waves=3)
+    assert out.count() == 0
+    assert "admit_seq" in out.columns
