@@ -681,6 +681,65 @@ def q_jpeg_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end-to-end: 8 MJPEG-in-AVI clips (functions/
+    video.py — real RIFF container, every frame an independent
+    baseline JPEG) synthesized executor-side, frame-sampled every 3rd
+    frame via mapInPandas (operators/multimodal.frame_sample), each
+    SAMPLED frame decoded and phash-checked against its ground-truth
+    pixels. The oracle pins the per-clip sampled-frame counts and the
+    claim that every sampled frame decodes with phash within 4 bits —
+    a codec or sampling regression loses rows / flips counts and
+    fails the value hash. Like jpeg_fidelity, the count pin rides on
+    a computation the SQL engine cannot run.
+    """
+    import pandas as pd
+
+    from crawler_spark.functions.payload import phash64, pixels_for
+    from crawler_spark.functions.video import encode_avi_mjpeg
+    from crawler_spark.operators.multimodal import frame_sample
+
+    @F.pandas_udf("binary")
+    def make_avi(video_id: pd.Series, n_frames: pd.Series) -> pd.Series:
+        out = []
+        for vid, n in zip(video_id, n_frames):
+            frames = [pixels_for(f"{vid}_f{i}", 32, 24) for i in range(int(n))]
+            out.append(encode_avi_mjpeg(frames, fps=12, quality=98))
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def gt_phash(video_id: pd.Series, frame_idx: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                phash64(pixels_for(f"{vid}_f{int(i)}", 32, 24))
+                for vid, i in zip(video_id, frame_idx)
+            ]
+        )
+
+    vids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 8).select(
+        F.concat(F.lit("vid_"), F.col("doc_id").cast("string")).alias("video_id"),
+        (F.lit(6) + F.col("doc_id") % 5).cast("int").alias("n_frames"),
+        F.lit(12.0).alias("fps"),
+        F.lit("avi").alias("fmt"),
+    )
+    clips = vids.withColumn("bytes", make_avi("video_id", "n_frames"))
+    sampled = frame_sample(clips, every_n=3)
+    return (
+        sampled.withColumn("gt", gt_phash("video_id", "frame_idx"))
+        .groupBy("video_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+            F.sum(
+                F.when(
+                    F.bit_count(F.col("phash").bitwiseXOR(F.col("gt"))) <= 4, 1
+                ).otherwise(0)
+            ).alias("n_phash_close"),
+        )
+        .select("video_id", "n_sampled", "n_ok", "n_phash_close")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality plumbing: raw int16 PCM payloads -> typed features
     (duration, RMS, peak, zero-crossing rate) via mapInPandas
@@ -870,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_csv_shape": q_export_csv_shape,
         "image_features": q_image_features,
         "jpeg_fidelity": q_jpeg_fidelity,
+        "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "semi_join": q_semi_join,
         "events_rollup": q_events_rollup,
@@ -1173,6 +1233,18 @@ def oracle_sql() -> dict[str, str]:
             "  count(*)::BIGINT AS n_psnr_ok, "
             "  count(*)::BIGINT AS n_phash_close "
             "FROM documents WHERE doc_id < 48 GROUP BY 1"
+        ),
+        "video_frames": (
+            # per-clip sampled-frame counts: n_frames = 6 + doc_id % 5,
+            # sampled every 3rd -> ceil(n_frames / 3); the claim that
+            # every sampled frame decodes phash-close is pinned as
+            # n_ok = n_phash_close = n_sampled (the Spark side runs
+            # the real container walk + JPEG decode)
+            "SELECT 'vid_' || doc_id AS video_id, "
+            "  CAST(ceil((6 + doc_id % 5) / 3.0) AS BIGINT) AS n_sampled, "
+            "  CAST(ceil((6 + doc_id % 5) / 3.0) AS BIGINT) AS n_ok, "
+            "  CAST(ceil((6 + doc_id % 5) / 3.0) AS BIGINT) AS n_phash_close "
+            "FROM documents WHERE doc_id < 8"
         ),
         "audio_features": (
             # regenerate the int16 PCM with generate_series and

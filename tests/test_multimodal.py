@@ -136,3 +136,80 @@ def test_wav_container_roundtrip_and_features(spark):
     bad += b"fmt " + struct.pack("<I", len(float_fmt)) + float_fmt
     with pytest.raises(NotImplementedError):
         mm.decode_wav(bad)
+
+
+def test_frame_sample_real_avi_path(spark):
+    """frame_sample decodes only every Nth frame of an MJPEG AVI and
+    phashes it; bad rows (wrong fmt, corrupt container, n_frames
+    mismatch) land as decode_ok=0 rows, never task failures."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.payload import phash64, pixels_for
+    from crawler_spark.functions.video import encode_avi_mjpeg
+    from crawler_spark.operators import multimodal as mm
+
+    def clip(vid, n):
+        return encode_avi_mjpeg(
+            [pixels_for(f"{vid}_f{i}", 32, 24) for i in range(n)], fps=12, quality=98
+        )
+
+    rows = [
+        ("v_a", clip("v_a", 7), 12.0, 7, "avi"),
+        ("v_b", clip("v_b", 4), 12.0, 4, "avi"),
+        ("v_bad_fmt", clip("v_c", 3), 12.0, 3, "mp4"),
+        ("v_bad_count", clip("v_d", 3), 12.0, 9, "avi"),
+        ("v_corrupt", clip("v_e", 3)[:40], 12.0, 3, "avi"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "bytes", "fps", "n_frames", "fmt"])
+    )
+    out = mm.frame_sample(df, every_n=3).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    # v_a: frames 0, 3, 6 sampled; v_b: frames 0, 3
+    assert sorted(r["frame_idx"] for r in by_vid["v_a"]) == [0, 3, 6]
+    assert sorted(r["frame_idx"] for r in by_vid["v_b"]) == [0, 3]
+    for r in by_vid["v_a"] + by_vid["v_b"]:
+        assert r["decode_ok"] == 1
+        assert r["w"] == 32 and r["h"] == 24
+        assert abs(r["t_s"] - r["frame_idx"] / 12.0) < 1e-6
+        gt = phash64(pixels_for(f"{r['video_id']}_f{r['frame_idx']}", 32, 24))
+        assert bin(r["phash"] ^ gt).count("1") <= 4
+    for bad in ("v_bad_fmt", "v_bad_count", "v_corrupt"):
+        assert len(by_vid[bad]) == 1 and by_vid[bad][0]["decode_ok"] == 0, bad
+
+
+def test_audio_features_flac_equals_pcm(spark):
+    """FLAC payloads (real lossless codec, functions/flac.py) produce
+    byte-identical features to the same PCM served raw; header-vs-
+    metadata mismatches and corrupt streams degrade per row."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.functions.flac import encode_flac
+
+    rng = np.random.default_rng(9)
+    t = np.arange(4000)
+    mono = (6000 * np.sin(t / 20) + rng.integers(-100, 100, len(t))).astype(np.int16)
+    stereo = np.stack([mono, (mono // 3).astype(np.int16)], axis=1)
+    rows = [
+        ("pcm_m", mono.tobytes(), 16000, 1, "pcm16"),
+        ("flac_m", encode_flac(mono, 16000), 16000, 1, "flac"),
+        ("flac_s", encode_flac(stereo, 8000), 8000, 2, "flac"),
+        ("flac_badrate", encode_flac(mono, 16000), 44100, 1, "flac"),
+        ("flac_corrupt", encode_flac(mono, 16000)[:100], 16000, 1, "flac"),
+        ("mp3_stub", mono.tobytes(), 16000, 1, "mp3"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["audio_id", "bytes", "sample_rate", "n_channels", "fmt"])
+    )
+    out = {r["audio_id"]: r for r in mm.audio_features(df).collect()}
+    assert out["flac_m"]["decode_ok"] == 1
+    for k in ("n_samples", "duration_s", "rms", "peak", "zcr"):
+        assert out["flac_m"][k] == out["pcm_m"][k], k
+    assert out["flac_s"]["decode_ok"] == 1
+    assert out["flac_s"]["n_samples"] == 4000
+    for bad in ("flac_badrate", "flac_corrupt", "mp3_stub"):
+        assert out[bad]["decode_ok"] == 0, bad
