@@ -100,6 +100,31 @@ def main() -> None:
         failures.append("minhash_banded")
     sections += [f"## {res.name} — {res.summary}", "", "```", res.compact_plan, "```", ""]
 
+    # two-phase dense-id assignment (round 4): the row_number window
+    # must partition on (portal, admit_rank) — `portal` alone is the
+    # single-task-per-portal funnel the two-phase design removed
+    from crawler_spark.operators.ids import with_dense_ids
+
+    narrow = docs.selectExpr(
+        "concat('p', doc_id % 4) AS portal",
+        "CAST(doc_id % 50 AS int) AS admit_rank",
+        "concat('u', doc_id) AS url",
+    )
+    # (the cumulative-offset window legitimately partitions on bare
+    # portal — but it runs over the GROUP-level relation, one row per
+    # (portal, rank); the forbidden shape is the ROW-level row_number
+    # on bare portal)
+    res = audit_plan(
+        "dense_ids (two-phase id assignment)",
+        with_dense_ids(narrow),
+        [r"row_number\(\) windowspecdefinition\(portal#\d+, admit_rank#\d+, url#\d+ ASC"],
+        [r"row_number\(\) windowspecdefinition\(portal#\d+, admit_rank#\d+L? ASC"],
+    )
+    print(f"dense_ids: {res.summary}")
+    if not res.ok:
+        failures.append("dense_ids")
+    sections += [f"## {res.name} — {res.summary}", "", "```", res.compact_plan, "```", ""]
+
     with open("EXPLAIN.md", "w") as f:
         f.write("\n".join(sections))
     print("\nwrote EXPLAIN.md;", ("FAILURES: " + ", ".join(failures)) if failures else "all checks pass")
