@@ -103,6 +103,22 @@ def _add_corpus_args(p):
     p.add_argument("--deep-frac", type=float, default=0.1)
 
 
+def _resolve_fetch_fn(spec: str | None):
+    """'pkg.module:attr' -> callable, the CLI face of the real-HTTP
+    insertion point (payload.make_fetch_parse_udf fetch_fn; a
+    production deployment points this at its requests.Session-backed
+    fetcher — see SCALE.md 'The real-HTTP insertion point')."""
+    if not spec:
+        return None
+    import importlib
+
+    mod_name, _, attr = spec.partition(":")
+    if not attr:
+        raise SystemExit(f"--fetch-fn must be 'module.path:attr', got {spec!r}")
+    obj = getattr(importlib.import_module(mod_name), attr)
+    return obj() if isinstance(obj, type) else obj
+
+
 def cmd_crawl(args) -> dict:
     from crawler_spark.operators.frontier import CrawlEngine
 
@@ -126,6 +142,7 @@ def cmd_crawl(args) -> dict:
         keywords=keywords,
         round_duration=args.round_duration,
         store_payload=not args.no_payload,
+        fetch_fn=_resolve_fetch_fn(getattr(args, "fetch_fn", None)),
     )
     if not engine.catalog.exists("frontier"):
         engine.bootstrap()
@@ -278,6 +295,13 @@ def main() -> None:
     c.add_argument("--max-rounds", type=int, default=100)
     c.add_argument("--round-duration", type=float, default=3600.0)
     c.add_argument("--no-payload", action="store_true", help="do not persist image bytes")
+    c.add_argument(
+        "--fetch-fn",
+        default=None,
+        help="'module.path:attr' real-HTTP fetcher plugged into the fused "
+        "fetch UDF ((image_id, w, h, fmt) -> bytes; a class is "
+        "instantiated once per worker — session/cookie-jar state)",
+    )
 
     a = sub.add_parser("analyze", help="re-match keywords, rewrite bridge")
     _add_common(a)

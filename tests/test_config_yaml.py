@@ -175,3 +175,28 @@ def test_cli_config_end_to_end(spark, tmp_path):
     }
     top_dirs = {d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))}
     assert top_dirs <= {"higher_education", "vocational", "other_education"}
+
+
+def test_cli_fetch_fn_resolution():
+    """--fetch-fn 'module:attr' resolves the real-HTTP insertion point:
+    functions pass through, classes instantiate (per-process session
+    state), bad specs fail loudly. The engine-side seam itself is
+    covered by tests/test_payload.py::test_fetch_fn_seam_*."""
+    import collections
+    import json as _json
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        from run_crawl import _resolve_fetch_fn
+    finally:
+        sys.path.pop(0)
+
+    assert _resolve_fetch_fn(None) is None
+    assert _resolve_fetch_fn("json:dumps") is _json.dumps
+    inst = _resolve_fetch_fn("collections:Counter")
+    assert isinstance(inst, collections.Counter)
+    with _pytest.raises(SystemExit, match="module.path:attr"):
+        _resolve_fetch_fn("no_colon_here")
