@@ -247,3 +247,35 @@ def test_stream_empty_frontier_returns_empty_with_schema(spark, tmp_path_factory
     out = stream.run(empty, max_waves=3)
     assert out.count() == 0
     assert "admit_seq" in out.columns
+
+
+def test_loop_back_and_admitted_sinks_are_epoch_idempotent(spark, tmp_path_factory):
+    """ADVICE r3: foreachBatch is at-least-once — a replayed epoch must
+    overwrite its own output, not append a second copy. Both sinks key
+    on epoch_id: loop-backs stage+move onto deterministic names,
+    admitted rows overwrite their wave directory."""
+    import glob
+    import os
+
+    from crawler_spark.streaming.crawl_stream import StatefulCrawlStream
+
+    in_dir = str(tmp_path_factory.mktemp("idem_in"))
+    work = str(tmp_path_factory.mktemp("idem_work"))
+    stream = StatefulCrawlStream(spark, in_dir=in_dir, work_dir=work, tokens_per_batch=2)
+
+    df = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(7)], "url string, priority int"
+    )
+    cols = ["url", "priority"]
+    for _ in range(2):  # second call simulates the replayed epoch
+        stream._stage_then_move(
+            df, cols, os.path.join(stream.stage_dir, "defer_000005"), in_dir, "loop-000005"
+        )
+    files = sorted(glob.glob(os.path.join(in_dir, "*.parquet")))
+    assert spark.read.parquet(in_dir).count() == 7, files
+    assert all(os.path.basename(f).startswith("loop-000005-") for f in files)
+
+    adm = os.path.join(stream.admitted_dir, "wave_000005")
+    for _ in range(2):
+        df.write.mode("overwrite").parquet(adm)
+    assert spark.read.parquet(adm).count() == 7
