@@ -193,3 +193,70 @@ def test_simhash_is_a_bag_of_tokens(spark, token_lists):
     fps = {r["id"]: r["sh"] for r in simhash_fingerprints(df).collect()}
     for i in range(len(token_lists)):
         assert fps[2 * i] == fps[2 * i + 1]
+
+
+# ---------------------------------------------------- codec properties
+
+img_st = st.tuples(
+    st.integers(min_value=1, max_value=40),   # w
+    st.integers(min_value=1, max_value=40),   # h
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+)
+
+
+def _rand_img(w, h, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@FAST
+@given(img_st)
+def test_jpeg_q100_near_lossless_any_dims(params):
+    """Quality 100 = all-ones quant tables: the only loss is DCT float
+    rounding, so ANY image round-trips above 50 dB at ANY dimensions
+    (padding/odd-size paths included)."""
+    from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from crawler_spark.functions.payload import psnr
+
+    img = _rand_img(*params[:2], params[2])
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert dec.shape == img.shape
+    assert psnr(dec, img) >= 50.0
+
+
+@FAST
+@given(
+    st.integers(min_value=1, max_value=3000),  # n samples
+    st.integers(min_value=1, max_value=3),     # channels
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from([256, 1024, 4096]),        # block size
+)
+def test_flac_roundtrip_is_lossless_for_any_pcm(n, nch, seed, bs):
+    """FLAC is lossless BY DEFINITION: any int16 signal — noise, DC,
+    extremes — must round-trip bit-exactly at any blocking."""
+    from crawler_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pcm = rng.integers(-32768, 32768, size=(n, nch)).astype(np.int16)
+    dec, rate = decode_flac(encode_flac(pcm, 16000, block_size=bs))
+    assert rate == 16000
+    assert np.array_equal(dec, pcm)
+
+
+@FAST
+@given(
+    st.integers(min_value=1, max_value=6),     # frames
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_container_preserves_frame_payloads_exactly(n_frames, seed):
+    """The AVI shell is lossless around its frames: parse returns the
+    EXACT jpeg bytes the encoder wrote, in order (the decode fidelity
+    of a frame is the jpeg codec's property, tested separately)."""
+    from crawler_spark.functions.jpeg import encode_jpeg
+    from crawler_spark.functions.video import encode_avi_mjpeg, parse_avi_mjpeg
+
+    frames = [_rand_img(16, 16, seed + i) for i in range(n_frames)]
+    meta = parse_avi_mjpeg(encode_avi_mjpeg(frames, fps=10, quality=90))
+    assert meta["n_frames"] == n_frames
+    expected = [encode_jpeg(f, quality=90) for f in frames]
+    assert [bytes(b) for b in meta["frames"]] == expected
