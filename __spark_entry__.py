@@ -776,6 +776,45 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC codec (functions/flac.py) under the FULL value oracle:
+    the PCM is the SQL-reproducible synth_pcm pattern, FLAC is
+    lossless, and audio_features decodes fmt='flac' — so DuckDB
+    regenerates the exact samples and every derived feature must
+    match to the digit (stronger than jpeg_fidelity's count pin,
+    which a lossy codec cannot offer)."""
+    from crawler_spark.functions.flac import encode_flac
+    from crawler_spark.operators.multimodal import audio_features, synth_pcm
+
+    @F.pandas_udf("binary")
+    def gen(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in ids:
+            pcm = np.frombuffer(synth_pcm(i), dtype="<i2").reshape(-1, 1)
+            out.append(encode_flac(pcm, 8000, block_size=256))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("fl_"), F.col("doc_id").cast("string")).alias("audio_id"),
+        F.lit(8000).alias("sample_rate"),
+        F.lit(1).alias("n_channels"),
+        F.lit("flac").alias("fmt"),
+    )
+    with_bytes = docs.withColumn("bytes", gen("audio_id"))
+    return audio_features(with_bytes).select(
+        "audio_id",
+        "sample_rate",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "duration_s",
+        "rms",
+        F.col("peak").cast("long").alias("peak"),
+        "zcr",
+        F.col("decode_ok").cast("long").alias("decode_ok"),
+    )
+
+
 def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: minhash LSH pairs -> connected components
     -> keep the min-id representative per duplicate CLUSTER. The
@@ -931,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_fidelity": q_jpeg_fidelity,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
+        "flac_features": q_flac_features,
         "semi_join": q_semi_join,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -1250,6 +1290,28 @@ def oracle_sql() -> dict[str, str]:
             # regenerate the int16 PCM with generate_series and
             # re-derive duration/RMS/peak/zero-crossing rate.
             "WITH ids AS (SELECT doc_id AS s, 'au_' || doc_id AS audio_id "
+            "             FROM documents WHERE doc_id < 64), "
+            "v AS (SELECT audio_id, i, "
+            "  ((s * 7 + 3) * i + s) % 2001 - 1000 AS x "
+            "  FROM ids, generate_series(0, 799) AS g(i)), "
+            "w AS (SELECT audio_id, i, x, "
+            "  lag(x) OVER (PARTITION BY audio_id ORDER BY i) AS px FROM v) "
+            "SELECT audio_id, 8000::INT AS sample_rate, "
+            "  count(*)::BIGINT AS n_samples, "
+            "  round(count(*) / 8000.0, 6) AS duration_s, "
+            "  round(sqrt(avg((x * x)::DOUBLE)), 6) AS rms, "
+            "  max(abs(x))::BIGINT AS peak, "
+            "  round(sum(CASE WHEN x * px < 0 THEN 1 ELSE 0 END)::DOUBLE "
+            "        / (count(*) - 1), 6) AS zcr, "
+            "  1::BIGINT AS decode_ok "
+            "FROM w GROUP BY audio_id"
+        ),
+        "flac_features": (
+            # identical ground truth to audio_features (synth_pcm is
+            # SQL-reproducible and flac is lossless): regenerate the
+            # samples, re-derive every feature — full value equality
+            # through the real rice/predictor codec
+            "WITH ids AS (SELECT doc_id AS s, 'fl_' || doc_id AS audio_id "
             "             FROM documents WHERE doc_id < 64), "
             "v AS (SELECT audio_id, i, "
             "  ((s * 7 + 3) * i + s) % 2001 - 1000 AS x "
