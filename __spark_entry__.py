@@ -334,17 +334,20 @@ def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (exact, shingle self-join).
 
-    Runs on a deterministic half of the corpus (doc_id % 2 = 0, which
-    contains every planted near-dup): the all-pairs-sharing-a-shingle
+    Runs on a deterministic quarter of the corpus (doc_id % 4 = 0,
+    which contains every planted near-dup: plants are doc_id % 20 = 0
+    and their +10000 copies, both ≡ 0 mod 4) with shingling capped to
+    the first 40 tokens per document: the all-pairs-sharing-a-shingle
     join is the GROUND-TRUTH twin, deliberately not the scale path —
     its cost grows with sum(shingle_count^2), so the exact check runs
-    on a sample while minhash_lsh covers the full corpus. The oracle
-    SQL applies the identical sample.
+    on a bounded sample while minhash_lsh covers the full corpus. The
+    oracle SQL applies the identical sample and token cap, so oracle
+    equality is preserved by construction.
     """
     from crawler_spark.operators.dedup import ngram_jaccard_pairs
 
-    base = _neardup_base(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
-    return ngram_jaccard_pairs(base, n=3, threshold=0.6)
+    base = _neardup_base(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    return ngram_jaccard_pairs(base, n=3, threshold=0.6, max_tokens=40)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,9 +1114,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id != keep"
         ),
         "ngram_jaccard": (
-            f"WITH base AS (SELECT * FROM ({_NEARDUP_BASE_SQL}) WHERE doc_id % 2 = 0), "
+            f"WITH base AS (SELECT * FROM ({_NEARDUP_BASE_SQL}) WHERE doc_id % 4 = 0), "
             "tok AS (SELECT doc_id AS id, "
-            "        regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM base), "
+            "        (regexp_split_to_array(lower(trim(text)), '\\s+'))[1:40] AS t FROM base), "
             "sh AS (SELECT id, list_distinct(CASE WHEN len(t) >= 3 "
             "       THEN list_transform(generate_series(1, len(t) - 2), "
             "            i -> array_to_string(t[i:i+2], ' ')) "

@@ -353,18 +353,26 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(result, f, indent=1)
 
-    def _slim_pair(p: dict) -> dict:
-        drop = {"calibration_low", "calibration_high", "reps_low", "reps_high", "spans_by_cores"}
-        return {k: v for k, v in p.items() if k not in drop}
-
+    # stdout must stay WELL under the driver's tail-capture window
+    # (rounds 3 and 4 both recorded parsed: null because the line's
+    # head was clipped) — emit ONLY the contract keys plus the two
+    # headline scaling numbers; everything else lives in detail_file.
     slim = {
-        **{k: v for k, v in result.items() if k not in ("crawl", "scaling", "scaling_pairs")},
-        "crawl": {k: v for k, v in crawl.items() if k not in ("reps", "spans")},
-        "scaling": _slim_pair(scaling) if isinstance(scaling, dict) else scaling,
-        "scaling_pairs": [_slim_pair(p) for p in scaling_pairs or []],
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": {k: round(v, 2) for k, v in query_secs.items()},
+        "sf": result["sf"],
+        "suite_total_sec": total,
+        "efficiency": scaling.get("efficiency") if isinstance(scaling, dict) else None,
+        "adj_efficiency": scaling.get("adj_efficiency") if isinstance(scaling, dict) else None,
         "detail_file": detail_path,
     }
-    print(json.dumps(slim))
+    line = json.dumps(slim)
+    if len(line) > 1500:  # belt-and-braces: never let the line grow past the window again
+        slim["queries"] = {"n": len(query_secs), "max_sec": round(max(query_secs.values()), 2)}
+        line = json.dumps(slim)
+    print(line)
     _write_bench_md(result)
     spark.stop()
 

@@ -263,8 +263,13 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"flac {bps}-bit unsupported (16-bit only)")
 
     channels: list[list[int]] = [[] for _ in range(n_ch)]
-    while pos + 2 <= len(data) and (total is None or len(channels[0]) < (total or 1)):
+    # STREAMINFO total_samples == 0 legally means UNKNOWN (RFC 9639
+    # §8.2): decode frames until the data runs out instead of stopping
+    # after the first frame fills >=1 sample.
+    while pos + 2 <= len(data) and (not total or len(channels[0]) < total):
         if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+            if not total and channels[0]:
+                break  # unknown-length stream: clean end at sync loss
             raise ValueError("flac frame sync lost")
         hdr_start = pos
         bs_code = data[pos + 2] >> 4

@@ -105,9 +105,18 @@ def exact_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
 # ------------------------------------------------------------ shingles
 
 
-def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Word n-gram shingles as array<string> — pure native exprs."""
+def with_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", max_tokens: int | None = None
+) -> DataFrame:
+    """Word n-gram shingles as array<string> — pure native exprs.
+
+    ``max_tokens`` caps the shingled prefix: the exact all-pairs twin's
+    join cost grows with sum(per-shingle frequency^2), so a bounded
+    prefix keeps the ground-truth check's cost independent of document
+    length (apply the SAME cap in any oracle SQL)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
     shingles = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -124,14 +133,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over all pairs sharing >=1 shingle.
 
     explode -> self-join on shingle -> per-pair intersection count ->
     |A ∪ B| = |A| + |B| - |A ∩ B|. This is the ground-truth (and
     DuckDB-oracle-expressible) variant; use minhash_lsh_pairs at scale.
+    ``max_tokens`` bounds the per-document shingled prefix (see
+    :func:`with_shingles`).
     """
-    sh = with_shingles(docs, n, text_col).select(
+    sh = with_shingles(docs, n, text_col, max_tokens=max_tokens).select(
         F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
     )
     a, b = sh.alias("a"), sh.alias("b")

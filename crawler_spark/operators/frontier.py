@@ -774,13 +774,25 @@ class CrawlEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        # The frontier overwrite's WRITE JOB is independent of the
+        # chain (new_frontier's plan captures the round-r snapshots;
+        # appends never delete old files), so it runs on a third
+        # thread — but its manifest POINTER SWAP stays last: a crash
+        # with the new frontier staged but the chain incomplete still
+        # replays the whole round from the old frontier snapshot.
+        with ThreadPoolExecutor(max_workers=3) as pool:
             chain_fut = pool.submit(_commit_pages_seen_bloom)
             lin_fut = pool.submit(_commit_lineage)
+            frontier_fut = pool.submit(
+                self.catalog.stage_overwrite, "frontier", new_frontier
+            )
             chain_fut.result()
             lin_pdf = lin_fut.result()
+            staged_frontier = frontier_fut.result()
         mark("lineage")
-        self.catalog.overwrite("frontier", new_frontier, properties={"round": r + 1})
+        self.catalog.commit_staged_overwrite(
+            "frontier", staged_frontier, properties={"round": r + 1}
+        )
         mark("frontier")
         if self.compact_every and (r + 1) % self.compact_every == 0:
             for tbl, schema in (

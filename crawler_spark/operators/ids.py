@@ -51,6 +51,18 @@ def with_dense_ids(
     Equivalent to ``row_number() OVER (PARTITION BY group ORDER BY
     rank, tiebreak) + base(group)`` but with no per-group single-task
     sort; ``tiebreak_col`` must be unique per row for determinism.
+
+    NULL group/rank values are handled: the probe-side join back onto
+    the aggregated offsets is null-safe (``<=>``), so a NULL-keyed row
+    gets an id in its own (NULL) group instead of being silently
+    dropped (groupBy already treats NULL as a group, window ordering
+    puts NULLs first — both sides agree).
+
+    NOTE: ``df`` is evaluated TWICE (the groupBy counts and the probe
+    side). For a deterministic input that's invisible; a
+    nondeterministic ``df`` (sampling, rand(), re-read mutable source)
+    must be cached/localCheckpointed by the caller first or counts and
+    probe rows can disagree (frontier.py caches; do the same).
     """
     bases = bases or {}
     base_expr = (
@@ -74,8 +86,12 @@ def with_dense_ids(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long")
     ).drop("_n")
     w_in = Window.partitionBy(group_col, rank_col).orderBy(tiebreak_col)
+    d, o = df.alias("_ids_d"), offs.alias("_ids_o")
+    cond = d[group_col].eqNullSafe(o[group_col]) & d[rank_col].eqNullSafe(o[rank_col])
     return (
-        df.join(F.broadcast(offs), on=[group_col, rank_col], how="inner")
+        d.join(F.broadcast(o), cond, "inner")
+        .drop(o[group_col])
+        .drop(o[rank_col])
         .withColumn(
             id_col,
             (F.row_number().over(w_in) + F.col("_off") + base_expr).cast("long"),

@@ -3,13 +3,16 @@
 Images/audio/video ride as `binary` columns with typed metadata
 (w, h, fmt / sample_rate, duration / fps, n_frames). The Spark-side
 plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
-partition sizing — is fully real and tested. 'raw' RGB payloads
-decode with numpy, 'png' with the real stdlib-zlib codec in
-functions/payload.py (all five scanline filters, CRC-checked), and
-'pcm16'/'wav' audio with numpy + a stdlib RIFF chunk parser
-(decode_wav); jpeg/mp3/video raise NotImplementedError
-exactly where a libjpeg/ffmpeg call would go (this container ships
-no DCT/Huffman codec libraries).
+partition sizing — is fully real and tested, and so are the codecs:
+'raw' RGB decodes with numpy, 'png' with the real stdlib-zlib codec
+in functions/payload.py (all five scanline filters, CRC-checked),
+'jpeg' with the real baseline decoder in functions/jpeg.py
+(Huffman + DCT on numpy/stdlib), 'pcm16'/'wav' with numpy + a stdlib
+RIFF chunk parser, 'flac' with the bit-exact codec in
+functions/flac.py, and AVI/MJPEG video with functions/video.py
+(only sampled frames entropy-decode). NotImplementedError remains
+only where the container genuinely lacks the wire format's codec
+ecosystem: mp3/ogg audio and inter-frame video (h264/vp9/av1).
 
 Scale notes: payload rows are wide (KB-MB); the iterator-of-batches
 mapInPandas form streams Arrow batches without materializing a

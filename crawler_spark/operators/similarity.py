@@ -185,6 +185,40 @@ def cosine_topk_lsh(
 _IVF_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
 
 
+def invalidate_ivf_cache() -> None:
+    """Drop every memoized IVF quantizer (call after mutating a table
+    a cached training plan reads)."""
+    _IVF_CENTROID_CACHE.clear()
+
+
+def _ivf_cache_key(df: DataFrame) -> tuple:
+    """Public-API cache identity for a training input: the FULL
+    extended plan text (captured from ``df.explain``, no hashing — two
+    different plans can collide under hash()) plus the backing file
+    set (``df.inputFiles``), which acts as the data-version token: a
+    re-read of a mutated SnapshotCatalog table resolves to new
+    ``v{NNNNNN}-{millis}`` version paths, so stale centroids are never
+    served across snapshots of the same logical table.
+
+    Attribute exprIds (``#123``) are normalized out of the plan text —
+    they are allocated per-DataFrame, so two reads of the same parquet
+    path would otherwise never share a cache entry; structure + file
+    set carry the identity."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    plan = re.sub(r"#\d+", "#", buf.getvalue())
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # plans with no file sources
+        files = ()
+    return (plan, files)
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -202,16 +236,18 @@ def train_ivf_centroids(
 
     The sample is orderBy(id).limit(sample) so training is
     reproducible across runs and executors; with ``cache`` the result
-    is memoized per (analyzed input plan, hyperparameters) within the
-    session.
+    is memoized per (full plan text + input file set + hyperparameters)
+    within the session — see :func:`_ivf_cache_key`; pass
+    ``cache=False`` (or call :func:`invalidate_ivf_cache`) when the
+    underlying data mutates in place.
     """
     key = None
     if cache:
         try:
-            plan = embeddings._jdf.queryExecution().analyzed().toString()
+            plan_key = _ivf_cache_key(embeddings)
         except Exception:  # non-JVM-backed test doubles
-            plan = repr(embeddings)
-        key = (hash(plan), n_cells, sample, iters, seed, id_col, vec_col)
+            plan_key = (repr(embeddings), ())
+        key = (*plan_key, n_cells, sample, iters, seed, id_col, vec_col)
         hit = _IVF_CENTROID_CACHE.get(key)
         if hit is not None:
             return hit

@@ -120,12 +120,34 @@ class SnapshotCatalog:
 
     def overwrite(self, name: str, df: DataFrame, properties: dict | None = None) -> None:
         """Replace table contents atomically (Iceberg INSERT OVERWRITE)."""
-        rel = self._write_version(name, df)
+        rel = self.stage_overwrite(name, df)
+        self.commit_staged_overwrite(name, rel, properties)
+
+    def stage_overwrite(self, name: str, df: DataFrame) -> str:
+        """Phase 1 of a two-phase overwrite: run the (expensive) Spark
+        write job into a new immutable version directory WITHOUT
+        advancing the manifest. Readers keep seeing the old snapshot;
+        a crash here leaves only an orphan directory (same as a crash
+        mid-:meth:`overwrite`). Returns the staged version path for
+        :meth:`commit_staged_overwrite`.
+
+        This is what lets the engine overlap the frontier overwrite's
+        write job with the pages->seen->bloom commit chain on another
+        thread while still committing the frontier pointer LAST — the
+        crash-ordering contract is carried entirely by the manifest
+        swap, not by when the bytes were written (Iceberg analog:
+        writing data/manifest files vs. the catalog pointer CAS)."""
+        return self._write_version(name, df)
+
+    def commit_staged_overwrite(
+        self, name: str, staged: str, properties: dict | None = None
+    ) -> None:
+        """Phase 2: atomically point the manifest at a staged version."""
         m = self._read_manifest(name)
         version = 0 if m is None else m["version"] + 1
         self._commit_manifest(
             name,
-            {"version": version, "paths": [rel], "properties": properties or {}},
+            {"version": version, "paths": [staged], "properties": properties or {}},
         )
         self._cache.pop(name, None)
 

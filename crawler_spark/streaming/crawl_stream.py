@@ -118,6 +118,12 @@ class StatefulCrawlStream:
         File moves only: row data never crosses the driver."""
         df.select(*cols).write.mode("overwrite").parquet(stage)
         os.makedirs(dst_dir, exist_ok=True)
+        # A replayed epoch may produce FEWER part files than its first
+        # attempt (AQE / partition-count drift): sweep every file under
+        # this prefix first, or higher-numbered survivors from attempt
+        # one would re-inject duplicate rows next to the replay's.
+        for stale in _glob.glob(os.path.join(dst_dir, f"{prefix}-*.parquet")):
+            os.remove(stale)
         for i, part in enumerate(sorted(_glob.glob(os.path.join(stage, "*.parquet")))):
             os.replace(part, os.path.join(dst_dir, f"{prefix}-{i:05d}.parquet"))
         shutil.rmtree(stage, ignore_errors=True)

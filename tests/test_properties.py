@@ -15,7 +15,7 @@ import xml.etree.ElementTree as ET
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -210,18 +210,25 @@ def _rand_img(w, h, seed):
 
 
 @FAST
+@example((2, 2, 177))  # hypothesis-discovered: 49.89 dB — tiny images can't amortize rounding
 @given(img_st)
 def test_jpeg_q100_near_lossless_any_dims(params):
     """Quality 100 = all-ones quant tables: the only loss is DCT float
-    rounding, so ANY image round-trips above 50 dB at ANY dimensions
-    (padding/odd-size paths included)."""
+    rounding. The TRUE invariant is a max-abs per-channel error of a
+    few counts (YCbCr<->RGB + DCT float rounding); PSNR >= 50 dB only
+    holds once there are enough samples to amortize (a 2x2 image with
+    max error 2 measures 49.89 dB — seed 177 below). So: bound the
+    per-pixel error always, and the dB figure for >=64-pixel images
+    (padding/odd-size paths included either way)."""
     from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
     from crawler_spark.functions.payload import psnr
 
     img = _rand_img(*params[:2], params[2])
     dec = decode_jpeg(encode_jpeg(img, quality=100))
     assert dec.shape == img.shape
-    assert psnr(dec, img) >= 50.0
+    assert int(np.max(np.abs(dec.astype(np.int16) - img.astype(np.int16)))) <= 3
+    if img.shape[0] * img.shape[1] >= 64:
+        assert psnr(dec, img) >= 50.0
 
 
 @FAST
