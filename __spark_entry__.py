@@ -684,6 +684,55 @@ def q_jpeg_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG (SOF2, functions/jpeg.py) as a contract query.
+
+    The same 48 noise+gradient images ride encode->decode through the
+    fused fetch UDF twice — once as baseline (fmt='jpeg'), once as
+    progressive (fmt='jpeg_progressive', a 10-scan spectral-selection
+    + successive-approximation script). Because progressive transmits
+    the SAME quantized coefficients, the two decodes must be
+    bit-identical: a row counts only if both decode ok, the phashes
+    are EQUAL (distance 0, stronger than jpeg_fidelity's <=4 pin) and
+    the PSNR-vs-ground-truth values agree to 1e-9 dB. The oracle pins
+    the per-width counts; any drift in either codec direction (scan
+    script, EOB-run coding, refinement bits, coefficient accumulation)
+    loses rows and fails the value hash. Reference twin: the parsers
+    consume whatever JPEG flavor the portals serve
+    (src/advert.py:188-381) — a large share of real web JPEGs are
+    progressive.
+    """
+    from crawler_spark.functions.payload import make_fetch_parse_udf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("image_id"),
+        (F.lit(24) + (F.col("doc_id") % 3) * 8).cast("int").alias("w"),
+        F.lit(32).alias("h"),
+    )
+    fetch = make_fetch_parse_udf(store_bytes=False, validate=True)
+    both = (
+        docs.withColumn("jp", fetch("image_id", "w", "h", F.lit("jpeg")))
+        .withColumn("pr", fetch("image_id", "w", "h", F.lit("jpeg_progressive")))
+    )
+    return (
+        both.select(
+            F.col("w").cast("long").alias("w"),
+            (F.col("jp.decode_ok") & F.col("pr.decode_ok")).alias("ok"),
+            F.bit_count(F.col("jp.phash").bitwiseXOR(F.col("pr.phash"))).alias("dist"),
+            (F.abs(F.col("jp.psnr_db") - F.col("pr.psnr_db")) < 1e-9).alias("psnr_eq"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(
+                F.when(F.col("ok") & (F.col("dist") == 0) & F.col("psnr_eq"), 1)
+                .otherwise(0)
+            ).alias("n_identical"),
+        )
+        .select("w", "n_images", "n_identical")
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality end-to-end: 8 MJPEG-in-AVI clips (functions/
     video.py — real RIFF container, every frame an independent
@@ -971,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_csv_shape": q_export_csv_shape,
         "image_features": q_image_features,
         "jpeg_fidelity": q_jpeg_fidelity,
+        "jpeg_progressive": q_jpeg_progressive,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "flac_features": q_flac_features,
@@ -1275,6 +1325,15 @@ def oracle_sql() -> dict[str, str]:
             "  count(*)::BIGINT AS n_images, "
             "  count(*)::BIGINT AS n_psnr_ok, "
             "  count(*)::BIGINT AS n_phash_close "
+            "FROM documents WHERE doc_id < 48 GROUP BY 1"
+        ),
+        "jpeg_progressive": (
+            # pins the claim that progressive and baseline decodes of
+            # the same image are bit-identical (phash distance 0, equal
+            # PSNR); the Spark side runs BOTH codec paths for real
+            "SELECT (24 + (doc_id % 3) * 8)::BIGINT AS w, "
+            "  count(*)::BIGINT AS n_images, "
+            "  count(*)::BIGINT AS n_identical "
             "FROM documents WHERE doc_id < 48 GROUP BY 1"
         ),
         "video_frames": (

@@ -11,13 +11,23 @@ sequential JPEG:
   2-D DCT as one einsum over all blocks, Annex K quantization tables
   scaled by quality (libjpeg's 5000/Q | 200-2Q convention), Annex K
   Huffman tables, byte-stuffed entropy stream.
-- **decoder**: marker parse (SOI/APP/DQT/SOF0/DHT/DRI/SOS/EOI),
+- **decoder**: marker parse (SOI/APP/DQT/SOF0/SOF2/DHT/DRI/SOS/EOI),
   canonical Huffman decode with restart-interval support, dequant +
   inverse zigzag + IDCT vectorized per component, nearest-neighbor
   chroma upsampling for subsampled scans (4:2:0 / 4:2:2 — emitted by
   standard encoders even though ours writes 4:4:4), grayscale scans,
-  YCbCr -> RGB. Progressive (SOF2) and arithmetic coding raise
-  NotImplementedError honestly.
+  YCbCr -> RGB. **Progressive (SOF2)** decodes fully: multi-scan
+  spectral selection (per-band AC scans, interleaved/non-interleaved
+  DC scans) and successive approximation (DC bit-plane refinement,
+  AC first + refinement passes with EOB-run coding per T.81 G.1.2),
+  accumulating coefficients across scans and running one IDCT at EOI.
+  A progressive ENCODER (spectral-selection + successive-approximation
+  scan script, EOB-run + correction-bit emission per G.1.2.2-3) exists
+  so round-trips exercise both directions; since progressive transmits
+  the same quantized coefficients as baseline, progressive and
+  baseline decodes of the same image at the same quality are
+  bit-identical — the tests pin exactly that. Arithmetic coding and
+  lossless/hierarchical frames raise NotImplementedError honestly.
 
 Entropy coding is inherently sequential bit IO and runs in Python —
 acceptable because the codec executes inside the Arrow-batched
@@ -224,6 +234,12 @@ class _BitWriter:
             self.write(0x7F, 8 - self.nbits)  # pad with 1-bits
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTm — raw, unstuffed."""
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)
+        self.out += bytes([0xFF, 0xD0 | (m & 7)])
+
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length), canonical Huffman assignment."""
@@ -251,9 +267,33 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 # -------------------------------------------------------------- encode
 
+# A complete-but-flat AC Huffman table for progressive scans: Annex K's
+# AC tables lack the EOBn symbols (0x10, 0x20, ... 0xE0) progressive
+# EOB-run coding needs, so progressive scans carry this table instead —
+# all 256 RS symbols, 255 at 8 bits + 0xFF at 9 (keeps the all-ones
+# max-length code unassigned, as canonical JPEG tables conventionally
+# do). Zero compression smarts, full spec conformance.
+_FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_AC_VALS = list(range(255)) + [255]
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
-    """Encode 8-bit RGB (h, w, 3) as baseline JFIF, 4:4:4 sampling."""
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 95,
+    progressive: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 8-bit RGB (h, w, 3) as JFIF, 4:4:4 sampling.
+
+    ``progressive=True`` emits an SOF2 frame whose scan script covers
+    every progressive decode path: an interleaved DC first scan at
+    Al=1 plus a DC refinement pass, per-component spectral-selection
+    AC first scans at Al=1, and AC refinement scans down to Al=0 —
+    so the decoded image is ALWAYS bit-identical to the baseline
+    encoding of the same (pixels, quality). ``restart_interval``
+    (progressive only) inserts DRI/RSTn markers every N MCUs/blocks
+    in every scan.
+    """
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 (h, w, 3)")
     h, w = pixels.shape[:2]
@@ -275,6 +315,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
         q = (qy if ci == 0 else qc).reshape(8, 8)
         quant = np.round(coeff / q).astype(np.int64)
         comp_q.append(quant.reshape(-1, 64)[:, ZIGZAG])
+
+    if progressive:
+        return _encode_progressive(comp_q, h, w, qy, qc, restart_interval)
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
@@ -327,6 +370,228 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     out += seg(0xDA, sos)
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encode
+
+
+def _emit_dc_first(bw, comp_q, comps, codes_by_comp, al, ri) -> None:
+    """Interleaved (or single-component) DC first scan: Huffman-coded
+    diffs of the point-transformed DC values (T.81 G.1.2.1). 4:4:4 ->
+    MCU order == block raster order."""
+    preds = [0] * len(comps)
+    rst = 0
+    for b in range(comp_q[comps[0]].shape[0]):
+        if ri and b and b % ri == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(comps)
+        for j, ci in enumerate(comps):
+            v = int(comp_q[ci][b, 0]) >> al  # arithmetic shift = T.81 DC point transform
+            diff = v - preds[j]
+            preds[j] = v
+            size, bits = _magnitude(diff)
+            code, length = codes_by_comp[j][size]
+            bw.write(code, length)
+            bw.write(bits, size)
+
+
+def _emit_dc_refine(bw, comp_q, comps, al, ri) -> None:
+    """DC refinement: one raw bit (bit ``al``) per block, no Huffman."""
+    rst = 0
+    for b in range(comp_q[comps[0]].shape[0]):
+        if ri and b and b % ri == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+        for ci in comps:
+            bw.write((int(comp_q[ci][b, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(bw, blocks, ss, se, al, codes, ri) -> None:
+    """AC first scan for one component band (T.81 G.1.2.2): runs of
+    zeros + magnitude-shifted coefficients, EOB-run coding across
+    blocks (EOBn symbol r<<4 covers 2^r + ext blocks)."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = codes[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    rst = 0
+    for bi in range(blocks.shape[0]):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+        zz = blocks[bi]
+        # AC point transform: magnitude shift (sign * (|v| >> al))
+        vals = [
+            (abs(int(zz[k])) >> al) * (1 if int(zz[k]) >= 0 else -1)
+            for k in range(ss, se + 1)
+        ]
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = codes[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(bw, blocks, ss, se, al, codes, ri) -> None:
+    """AC refinement scan (T.81 G.1.2.3): newly-significant coefficients
+    coded as (zero-history-run << 4) | 1 + sign bit; already-significant
+    coefficients contribute one correction bit each, buffered and
+    emitted right after the covering code (ZRL / run-1 / EOBn) in
+    position order — the decoder reads them back while walking."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits covered by the open EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = codes[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            eobrun = 0
+
+    rst = 0
+    for bi in range(blocks.shape[0]):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+        zz = blocks[bi]
+        t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        sign = [1 if int(zz[k]) >= 0 else 0 for k in range(ss, se + 1)]
+        eobpos = 0  # index AFTER the last newly-significant coefficient
+        for i, v in enumerate(t):
+            if v == 1:
+                eobpos = i + 1
+        run = 0
+        brbits: list[int] = []  # correction bits since the last emitted code
+        for i, v in enumerate(t):
+            if v == 0:
+                run += 1
+                continue
+            # ZRLs are only required before the last new coefficient;
+            # past it the zeros fold into the EOB run
+            while run > 15 and i < eobpos:
+                flush_eob()
+                code, length = codes[0xF0]
+                bw.write(code, length)
+                for bit in brbits:
+                    bw.write(bit, 1)
+                brbits = []
+                run -= 16
+            if v > 1:  # history coefficient: correction bit only
+                brbits.append(v & 1)
+                continue
+            flush_eob()
+            code, length = codes[(run << 4) | 1]
+            bw.write(code, length)
+            bw.write(sign[i], 1)
+            for bit in brbits:
+                bw.write(bit, 1)
+            brbits = []
+            run = 0
+        if run > 0 or brbits:
+            eobrun += 1
+            pending.extend(brbits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_progressive(comp_q, h, w, qy, qc, ri) -> bytes:
+    """Assemble the SOF2 file: headers + the 10-scan script described
+    in :func:`encode_jpeg`."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dc_codes = (_build_codes(*DC_LUMA), _build_codes(*DC_CHROMA))
+    ac_flat = _build_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in qy[ZIGZAG]))
+    out += seg(0xDB, b"\x01" + bytes(int(x) for x in qc[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)
+    out += seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    for tc_th, (bits, vals) in (
+        (0x00, DC_LUMA),
+        (0x01, DC_CHROMA),
+        (0x10, (_FLAT_AC_BITS, _FLAT_AC_VALS)),
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
+
+    def sos(comps_td_ta: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        payload = bytes([len(comps_td_ta)])
+        for cs, td, ta in comps_td_ta:
+            payload += bytes([cs, (td << 4) | ta])
+        return seg(0xDA, payload + bytes([ss, se, (ah << 4) | al]))
+
+    bw = _BitWriter()
+    _emit_dc_first(bw, comp_q, [0, 1, 2], (dc_codes[0], dc_codes[1], dc_codes[1]), 1, ri)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1) + bw.flush()
+
+    for ci, cs, bands in ((0, 1, ((1, 5), (6, 63))), (1, 2, ((1, 63),)), (2, 3, ((1, 63),))):
+        for ss, se in bands:
+            bw = _BitWriter()
+            _emit_ac_first(bw, comp_q[ci], ss, se, 1, ac_flat, ri)
+            out += sos([(cs, 0, 0)], ss, se, 0, 1) + bw.flush()
+
+    bw = _BitWriter()
+    _emit_dc_refine(bw, comp_q, [0, 1, 2], 0, ri)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0) + bw.flush()
+
+    for ci, cs, bands in ((0, 1, ((1, 5), (6, 63))), (1, 2, ((1, 63),)), (2, 3, ((1, 63),))):
+        for ss, se in bands:
+            bw = _BitWriter()
+            _emit_ac_refine(bw, comp_q[ci], ss, se, 0, ac_flat, ri)
+            out += sos([(cs, 0, 0)], ss, se, 1, 0) + bw.flush()
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -425,10 +690,14 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline sequential JFIF to uint8 RGB (h, w, 3).
+    """Decode baseline sequential OR progressive JFIF to uint8 RGB.
 
     Supports 1- and 3-component scans, sampling factors 1-2 (4:4:4,
-    4:2:2, 4:2:0), restart intervals, 8-bit quantization tables.
+    4:2:2, 4:2:0), restart intervals, 8-bit quantization tables, and
+    for SOF2 frames the full progressive repertoire: spectral
+    selection, successive approximation (DC + AC refinement passes),
+    and EOB-run coding, with coefficients accumulated across scans
+    and one IDCT at EOI.
     """
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
@@ -437,13 +706,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    grids: list[np.ndarray] | None = None  # per-comp (bh, bw, 64) zigzag coeffs
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg marker desync")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and grids is not None:
+                return _assemble_from_grids(frame, grids, qtables)
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated jpeg segment")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -464,7 +739,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 q = np.zeros(64, dtype=np.int64)
                 q[ZIGZAG] = tbl.astype(np.int64)
                 qtables[tq] = q
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit jpeg supported")
@@ -473,10 +748,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential jpeg supported (progressive/"
-                "arithmetic scans are not)"
+                "only baseline-sequential and progressive huffman jpeg "
+                "supported (arithmetic/lossless/hierarchical scans are not)"
             )
         elif marker == 0xC4:  # DHT
             off = 0
@@ -497,16 +773,45 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append((cs, tdta >> 4, tdta & 15))
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    data,
+                    pos + 2 + seglen,
+                    frame,
+                    scan_comps,
+                    qtables,
+                    htables,
+                    restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if grids is None:
+                fh, fw, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-fw // (8 * hmax))
+                mcuy = -(-fh // (8 * vmax))
+                grids = [
+                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+                    for _, hs, vs, _ in comps
+                ]
+            pos = _decode_progressive_scan(
                 data,
                 pos + 2 + seglen,
                 frame,
                 scan_comps,
-                qtables,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 15,
                 htables,
+                grids,
                 restart_interval,
             )
+            continue
         pos += 2 + seglen
+    if progressive and grids is not None:
+        # tolerate a missing EOI after a complete scan set
+        return _assemble_from_grids(frame, grids, qtables)
     raise ValueError("jpeg has no SOS scan")
 
 
@@ -593,6 +898,217 @@ def _decode_scan(
             plane = np.repeat(plane, vmax // vs, axis=0)
         planes.append(plane[:fh, :fw])
 
+    if len(planes) == 1:
+        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component jpeg unsupported")
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ------------------------------------------------ progressive decode
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    scan_comps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables,
+    grids,
+    restart_interval: int,
+) -> int:
+    """Consume ONE progressive SOS entropy segment, accumulating into
+    the per-component zigzag coefficient ``grids`` in place; returns
+    the stream position of the next marker. DC scans (Ss=0) may be
+    interleaved (MCU traversal) or single-component; AC scans are
+    single-component by spec and traverse the component's own ceil
+    block grid. Restart markers reset DC prediction and the EOB run."""
+    fh, fw, comps = frame
+    by_id = {cid: (i, hs, vs) for i, (cid, hs, vs, _tq) in enumerate(comps)}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if len(scan_comps) > 1 and ss != 0:
+        raise ValueError("progressive AC scans must be non-interleaved")
+
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    dcpred = [0] * len(comps)
+
+    if len(scan_comps) == 1:
+        cs, td, ta = scan_comps[0]
+        ci, hs, vs = by_id[cs]
+        # non-interleaved traversal: the component's OWN block grid
+        # (ceil of its sampled dims), not the MCU-padded lattice
+        sw = -(-fw * hs // hmax)  # ceil(fw * hs / hmax)
+        sh = -(-fh * vs // vmax)
+        cw = -(-sw // 8)
+        ch = -(-sh // 8)
+        dct = htables.get((0, td))
+        act = htables.get((1, ta))
+        grid = grids[ci]
+        for b in range(cw * ch):
+            if restart_interval and b and b % restart_interval == 0:
+                br.sync_restart()
+                dcpred = [0] * len(comps)
+                state["eobrun"] = 0
+            zz = grid[b // cw, b % cw]
+            _decode_prog_block(br, zz, ss, se, ah, al, dct, act, dcpred, ci, state)
+    else:
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                br.sync_restart()
+                dcpred = [0] * len(comps)
+            my, mx = divmod(m, mcux)
+            for cs, td, _ta in scan_comps:
+                ci, hs, vs = by_id[cs]
+                dct = htables.get((0, td))
+                for v in range(vs):
+                    for hb in range(hs):
+                        zz = grids[ci][my * vs + v, mx * hs + hb]
+                        _decode_prog_block(
+                            br, zz, 0, 0, ah, al, dct, None, dcpred, ci, state
+                        )
+
+    p, n = br.pos, len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    raise ValueError("jpeg truncated after progressive scan")
+
+
+def _decode_prog_block(br, zz, ss, se, ah, al, dct, act, dcpred, ci, state) -> None:
+    """One 8x8 block's contribution from the current scan."""
+    if ss == 0:  # DC pass
+        if ah == 0:
+            if dct is None:
+                raise ValueError("jpeg DC scan references undefined huffman table")
+            size = _huff_decode(br, dct)
+            diff = _extend(br.receive(size), size)
+            dcpred[ci] += diff
+            zz[0] = dcpred[ci] << al
+        else:  # refinement: one raw bit, OR into bit plane al
+            if br.read_bit():
+                zz[0] |= 1 << al
+    elif ah == 0:
+        if act is None:
+            raise ValueError("jpeg AC scan references undefined huffman table")
+        _dec_ac_first(br, zz, ss, se, al, act, state)
+    else:
+        if act is None:
+            raise ValueError("jpeg AC scan references undefined huffman table")
+        _dec_ac_refine(br, zz, ss, se, al, act, state)
+
+
+def _dec_ac_first(br, zz, ss, se, al, act, state) -> None:
+    """AC first pass (T.81 G.1.2.2): zero runs + magnitude-shifted
+    coefficients; EOBn covers this block's tail plus 2^r-1+ext whole
+    following blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _huff_decode(br, act)
+        r, s = sym >> 4, sym & 15
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("jpeg progressive AC run past band end")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+        elif r != 15:
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            state["eobrun"] = eobrun
+            return
+        else:  # ZRL
+            k += 16
+
+
+def _dec_ac_refine(br, zz, ss, se, al, act, state) -> None:
+    """AC refinement pass (T.81 G.1.2.3): a (run<<4)|1 code inserts a
+    new +-2^al coefficient after ``run`` zero-HISTORY positions;
+    already-nonzero coefficients along every walk read one correction
+    bit each; EOBn switches the rest of the band (and following whole
+    blocks) to correction-bit-only mode."""
+    p1 = 1 << al
+
+    def refine_one(k: int) -> None:
+        if br.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else -p1
+
+    k = ss
+    hit_eob = state["eobrun"] > 0
+    if not hit_eob:
+        while k <= se:
+            sym = _huff_decode(br, act)
+            r, s = sym >> 4, sym & 15
+            if s == 0 and r < 15:  # EOBn
+                state["eobrun"] = (1 << r) + (br.receive(r) if r else 0)
+                hit_eob = True
+                break
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("jpeg AC refinement size must be 1")
+                newval = p1 if br.read_bit() else -p1
+            # walk forward: refine nonzero-history coefficients, count
+            # down r zero-history slots (16 for ZRL)
+            while k <= se:
+                if zz[k] != 0:
+                    refine_one(k)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("jpeg AC refinement position past band end")
+                zz[k] = newval
+            k += 1
+    if hit_eob:
+        while k <= se:
+            if zz[k] != 0:
+                refine_one(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _assemble_from_grids(frame, grids, qtables) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the RGB image (same upsample/crop rules as baseline)."""
+    fh, fw, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    planes = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("jpeg component references undefined quant table")
+        q = qtables[tq]
+        g = grids[ci]
+        bh, bw_ = g.shape[:2]
+        coeff = (g.reshape(-1, 64) * q[ZIGZAG][None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
+        spatial = _idct2(coeff.astype(np.float64)) + 128.0
+        plane = (
+            spatial.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        )
+        if hs != hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs != vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        planes.append(plane[:fh, :fw])
     if len(planes) == 1:
         y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)

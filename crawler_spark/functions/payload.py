@@ -5,7 +5,7 @@ field extraction (src/advert.py:188-285 Karriere, 288-381 Stepstone):
 payload bytes in, struct of derived/validated fields out, executed as
 Arrow-batched pandas UDFs (never per-row Python in the plan).
 
-Formats — all three fully implemented, dependency-free:
+Formats — all fully implemented, dependency-free:
 - 'raw': uncompressed RGB, w*h*3 uint8.
 - 'png' (8-bit RGB, non-interlaced): stdlib-zlib codec, all five
   scanline filters on decode, CRC-validated chunks.
@@ -13,6 +13,11 @@ Formats — all three fully implemented, dependency-free:
   functions/jpeg.py — Annex K tables, 4:4:4 encode at quality 98
   (PSNR >= 40 dB on the worst-case noise corpus), decode handles
   4:2:0/4:2:2/grayscale and restart markers from standard encoders.
+- 'jpeg_progressive' (SOF2): successive-approximation + spectral-
+  selection scan script on encode; decode accumulates coefficients
+  across scans and is bit-identical to the baseline decode of the
+  same image/quality (decode_jpeg auto-detects SOF0 vs SOF2, so
+  progressive bytes from ANY encoder also flow through fmt='jpeg').
 """
 
 from __future__ import annotations
@@ -95,9 +100,14 @@ def encode_payload(pixels: np.ndarray, fmt: str = "raw") -> bytes:
         from crawler_spark.functions.jpeg import encode_jpeg
 
         return encode_jpeg(pixels, quality=JPEG_QUALITY)
+    if fmt == "jpeg_progressive":
+        from crawler_spark.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(pixels, quality=JPEG_QUALITY, progressive=True)
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no image libs); "
-        "'raw', 'png' and 'jpeg' are the supported interchange formats"
+        "'raw', 'png', 'jpeg' and 'jpeg_progressive' are the supported "
+        "interchange formats"
     )
 
 
@@ -112,7 +122,7 @@ def decode_payload(data: bytes, w: int, h: int, fmt: str = "raw") -> np.ndarray:
         if px.shape != (h, w, 3):
             raise ValueError(f"png dims {px.shape[1]}x{px.shape[0]} != expected {w}x{h}")
         return px
-    if fmt == "jpeg":
+    if fmt in ("jpeg", "jpeg_progressive"):  # decode_jpeg detects SOF0/SOF2
         from crawler_spark.functions.jpeg import decode_jpeg
 
         px = decode_jpeg(data)

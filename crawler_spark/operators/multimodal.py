@@ -6,7 +6,7 @@ plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
 partition sizing — is fully real and tested, and so are the codecs:
 'raw' RGB decodes with numpy, 'png' with the real stdlib-zlib codec
 in functions/payload.py (all five scanline filters, CRC-checked),
-'jpeg' with the real baseline decoder in functions/jpeg.py
+'jpeg' with the real baseline+progressive decoder in functions/jpeg.py
 (Huffman + DCT on numpy/stdlib), 'pcm16'/'wav' with numpy + a stdlib
 RIFF chunk parser, 'flac' with the bit-exact codec in
 functions/flac.py, and AVI/MJPEG video with functions/video.py

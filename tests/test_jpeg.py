@@ -223,12 +223,17 @@ def test_rejects_truncated_entropy_stream():
         decode_jpeg(data[: len(data) // 2])
 
 
-def test_progressive_is_honest_notimplemented():
+def test_arithmetic_and_lossless_frames_are_honest_notimplemented():
+    """SOF2 decodes for real as of round 5 (tests/test_jpeg_progressive
+    .py); the frame types the container genuinely can't serve stay
+    loudly unimplemented."""
     data = bytearray(encode_jpeg(pixels_for("t_3", 16, 16)))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(bytes(data))
+    for sof in (0xC3, 0xC9, 0xCA, 0xCB):  # lossless / arithmetic
+        c = bytearray(data)
+        c[i + 1] = sof
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(c))
 
 
 def test_corrupt_entropy_does_not_hang_or_segfault():
