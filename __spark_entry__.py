@@ -867,6 +867,64 @@ def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame grammar (functions/mpeg_audio) under a FULL value
+    oracle: 64 byte-valid Layer III streams are synthesized with knobs
+    (rate/bitrate/channels/frame-count/VBR/Xing/CRC/ID3) that are pure
+    integer functions of doc_id, the REAL parser walks every frame
+    (verifying lengths, CRCs and Xing counts), and DuckDB re-derives
+    every output — duration, VBR-ness, total frame bytes — from the
+    same arithmetic (ISO 11172-3 frame-length formula 144*kbps/rate).
+    A parser regression in any grammar branch (sync walk, LSF tables,
+    Xing exclusion, ID3 skip) lands as a value mismatch.
+
+    Reference twin: per-payload field extraction, src/advert.py:188-381.
+    """
+    from crawler_spark.functions.mpeg_audio import encode_mp3_shell
+    from crawler_spark.operators.multimodal import audio_stream_metadata
+
+    RATES = [44100, 48000, 32000]
+    KBPS = [64, 96, 128, 160]
+
+    @F.pandas_udf("binary")
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for aid in ids:
+            s = int(str(aid).rsplit("_", 1)[-1])
+            out.append(
+                encode_mp3_shell(
+                    n_frames=10 + s % 7,
+                    sample_rate=RATES[s % 3],
+                    bitrate_kbps=KBPS[(s // 3) % 4],
+                    channels=1 + s % 2,
+                    vbr_alt_kbps=192 if s % 5 == 0 else None,
+                    with_xing=s % 4 == 0,
+                    with_crc=s % 2 == 0,
+                    id3v2_size=(s % 3) * 37,
+                    id3v1=s % 2 == 1,
+                )
+            )
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("mp_"), F.col("doc_id").cast("string")).alias("audio_id"),
+        F.lit("mp3").alias("fmt"),
+    )
+    with_bytes = docs.withColumn("bytes", gen("audio_id"))
+    return audio_stream_metadata(with_bytes).select(
+        "audio_id",
+        "container",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_s",
+        F.col("vbr").cast("long").alias("vbr"),
+        "bitrate_kbps",
+        "total_frame_bytes",
+        F.col("parse_ok").cast("long").alias("parse_ok"),
+    )
+
+
 def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: minhash LSH pairs -> connected components
     -> keep the min-id representative per duplicate CLUSTER. The
@@ -1024,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "flac_features": q_flac_features,
+        "audio_stream_meta": q_audio_stream_meta,
         "semi_join": q_semi_join,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -1389,6 +1448,36 @@ def oracle_sql() -> dict[str, str]:
             "        / (count(*) - 1), 6) AS zcr, "
             "  1::BIGINT AS decode_ok "
             "FROM w GROUP BY audio_id"
+        ),
+        "audio_stream_meta": (
+            # re-derive every mp3 metadata field from the synthesis
+            # knobs with ISO 11172-3 arithmetic: frame bytes =
+            # (144000*kbps)//rate (mpeg1 layer III), VBR streams
+            # alternate the base/192kbps rates on odd frame indexes,
+            # a Xing frame adds one base-rate frame excluded from the
+            # audio frame count, duration = frames*1152/rate
+            "WITH k AS (SELECT doc_id AS s, 'mp_' || doc_id AS audio_id, "
+            "  [44100, 48000, 32000][(doc_id % 3) + 1] AS rate, "
+            "  [64, 96, 128, 160][((doc_id // 3) % 4) + 1] AS kbps, "
+            "  (1 + doc_id % 2)::INT AS channels, "
+            "  10 + doc_id % 7 AS n, "
+            "  (doc_id % 5 = 0) AS vbr, "
+            "  (doc_id % 4 = 0) AS xing "
+            "  FROM documents WHERE doc_id < 64), "
+            "f AS (SELECT *, (144000 * kbps) // rate AS flen, "
+            "  (144000 * 192) // rate AS flen_alt FROM k) "
+            "SELECT audio_id, 'mpeg1-layer3' AS container, "
+            "  rate::INT AS sample_rate, channels, "
+            "  n::BIGINT AS n_frames, "
+            "  round(n * 1152.0 / rate, 6) AS duration_s, "
+            "  (CASE WHEN vbr THEN 1 ELSE 0 END)::BIGINT AS vbr, "
+            "  (CASE WHEN vbr THEN NULL ELSE kbps END)::INT AS bitrate_kbps, "
+            "  ((CASE WHEN vbr THEN (n - n // 2) * flen + (n // 2) * flen_alt "
+            "         ELSE n * flen END) "
+            "   + CASE WHEN xing THEN flen ELSE 0 END)::BIGINT "
+            "    AS total_frame_bytes, "
+            "  1::BIGINT AS parse_ok "
+            "FROM f"
         ),
         # crawl_lineage: the stateful multi-round engine has no SQL
         # twin, but the seed=42 corpus is deterministic — the expected

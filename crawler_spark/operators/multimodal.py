@@ -10,9 +10,11 @@ in functions/payload.py (all five scanline filters, CRC-checked),
 (Huffman + DCT on numpy/stdlib), 'pcm16'/'wav' with numpy + a stdlib
 RIFF chunk parser, 'flac' with the bit-exact codec in
 functions/flac.py, and AVI/MJPEG video with functions/video.py
-(only sampled frames entropy-decode). NotImplementedError remains
-only where the container genuinely lacks the wire format's codec
-ecosystem: mp3/ogg audio and inter-frame video (h264/vp9/av1).
+(only sampled frames entropy-decode). MP3 gets a real frame-grammar
+parser (functions/mpeg_audio: sync walk, CRC-16, Xing, ID3) feeding
+audio_stream_metadata; NotImplementedError remains only where the
+container genuinely lacks the wire format's codec ecosystem: mp3/ogg
+PCM decode and inter-frame video (h264/vp9/av1).
 
 Scale notes: payload rows are wide (KB-MB); the iterator-of-batches
 mapInPandas form streams Arrow batches without materializing a
@@ -177,8 +179,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     codec in functions/payload.py: walks RIFF chunks (any order,
     unknown chunks skipped, word-aligned), validates the fmt chunk
     (format tag 1 = PCM, 16 bits/sample), and returns the data chunk
-    reshaped by the container's OWN channel count. Compressed codecs
-    (mp3/ogg/flac) stay NotImplementedError — no codec libs here.
+    reshaped by the container's OWN channel count. FLAC decodes via
+    functions/flac.py; lossy codecs (mp3/ogg) stay NotImplementedError
+    on the PCM path (mp3 framing/metadata: functions/mpeg_audio).
     """
     import struct
 
@@ -273,6 +276,115 @@ def audio_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select(*fields).mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_STREAM_META_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType(), False),
+        StructField("container", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("vbr", IntegerType(), True),
+        StructField("bitrate_kbps", IntegerType(), True),
+        StructField("total_frame_bytes", LongType(), True),
+        StructField("parse_ok", IntegerType(), False),
+    ]
+)
+
+
+def audio_stream_metadata(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
+    """Container/stream metadata WITHOUT PCM decode, via mapInPandas.
+
+    Input columns: (audio_id, bytes, fmt). This is the path a 100 TB
+    audio crawl actually runs over every payload — duration, rate,
+    channel layout, VBR-ness, frame integrity — and it works on
+    formats whose PCM decode is env-blocked:
+      - 'mp3': the REAL frame-grammar parser in functions/mpeg_audio
+        (sync walk, bitrate/rate tables, CRC-16 verify, Xing/ID3);
+      - 'wav': RIFF fmt/data chunk walk (duration from byte counts);
+      - 'flac': STREAMINFO block (rate/channels/total samples).
+    Row-level failures -> parse_ok=0, never task failures. n_frames is
+    mp3-only (frame-based container); wav/flac report null.
+    """
+    fields = ["audio_id", "bytes", fmt_col]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from crawler_spark.functions.mpeg_audio import parse_mp3
+
+        def one(aid, data, fmt) -> dict:
+            row = {k: None for k in (
+                "container", "sample_rate", "channels", "n_frames",
+                "duration_s", "vbr", "bitrate_kbps", "total_frame_bytes",
+            )}
+            row["audio_id"] = aid
+            data = bytes(data)
+            if fmt == "mp3":
+                m = parse_mp3(data)
+                row.update(
+                    container=f"{m['version']}-layer{m['layer']}",
+                    sample_rate=m["sample_rate"],
+                    channels=m["channels"],
+                    n_frames=m["n_frames"],
+                    duration_s=m["duration_s"],
+                    vbr=int(m["vbr"]),
+                    bitrate_kbps=m["bitrate_kbps"],
+                    total_frame_bytes=m["total_frame_bytes"],
+                )
+            elif fmt == "wav":
+                pcm, rate = decode_wav(data)
+                row.update(
+                    container="riff-wave",
+                    sample_rate=rate,
+                    channels=pcm.shape[1],
+                    duration_s=round(len(pcm) / rate, 6),
+                    vbr=0,
+                    bitrate_kbps=rate * pcm.shape[1] * 16 // 1000,
+                    total_frame_bytes=pcm.nbytes,
+                )
+            elif fmt == "flac":
+                if data[:4] != b"fLaC":
+                    raise ValueError("not a flac stream")
+                # STREAMINFO: first metadata block, packed u64 at 18
+                packed = int.from_bytes(data[18:26], "big")
+                rate = packed >> 44
+                n_ch = ((packed >> 41) & 7) + 1
+                total = packed & ((1 << 36) - 1)
+                row.update(
+                    container="flac",
+                    sample_rate=rate,
+                    channels=n_ch,
+                    duration_s=round(total / rate, 6) if total else None,
+                    vbr=1,  # flac frames are inherently variable-size
+                )
+            else:
+                raise NotImplementedError(f"no metadata parser for {fmt!r}")
+            row["parse_ok"] = 1
+            return row
+
+        for pdf in batches:
+            rows = []
+            for aid, data, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf[fmt_col]):
+                try:
+                    rows.append(one(aid, data, fmt))
+                except (ValueError, NotImplementedError, TypeError, _struct.error):
+                    rows.append(
+                        {
+                            "audio_id": aid,
+                            **{k: None for k in (
+                                "container", "sample_rate", "channels",
+                                "n_frames", "duration_s", "vbr",
+                                "bitrate_kbps", "total_frame_bytes",
+                            )},
+                            "parse_ok": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STREAM_META_SCHEMA])
+
+    return df.select(*fields).mapInPandas(extract, schema=AUDIO_STREAM_META_SCHEMA)
 
 
 def synth_pcm(audio_id: str, n_samples: int = 800) -> bytes:
