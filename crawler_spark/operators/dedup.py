@@ -113,18 +113,32 @@ def with_shingles(
     ``max_tokens`` caps the shingled prefix: the exact all-pairs twin's
     join cost grows with sum(per-shingle frequency^2), so a bounded
     prefix keeps the ground-truth check's cost independent of document
-    length (apply the SAME cap in any oracle SQL)."""
+    length (apply the SAME cap in any oracle SQL).
+
+    The token array is projected as its own column before the shingle
+    expression consumes it: a single inlined Column would embed the
+    split() subtree inside the transform() lambda and every size()
+    guard, so Catalyst re-splits the full text per shingle position
+    (~max_tokens x per row) and the generated plan carries the monster
+    expression in every Filter/Project it pushes through — measured
+    ~4x slower to compile AND run. CollapseProject leaves the
+    projection alone because split() is non-cheap and referenced more
+    than once."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
+    staged = docs.withColumn("__shingle_toks", toks)
+    t = F.col("__shingle_toks")
     shingles = F.when(
-        F.size(toks) >= n,
+        F.size(t) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
         ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    return docs.withColumn("shingles", F.array_distinct(shingles))
+    ).otherwise(F.array(F.array_join(t, " ")))
+    return staged.withColumn("shingles", F.array_distinct(shingles)).drop(
+        "__shingle_toks"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -142,10 +156,20 @@ def ngram_jaccard_pairs(
     DuckDB-oracle-expressible) variant; use minhash_lsh_pairs at scale.
     ``max_tokens`` bounds the per-document shingled prefix (see
     :func:`with_shingles`).
+
+    The exploded (id, n_sh, shingle) relation is cached before the
+    self-join: both join sides would otherwise re-derive it from the
+    source (two scans, two shingle evaluations, and — the dominant
+    one-shot cost — two whole-stage codegen compilations of the
+    shingle expression). The relation is small by construction
+    (docs x max_tokens rows); it stays cached for plan reuse, which
+    is the right trade for a ground-truth twin that callers run
+    on bounded samples.
     """
     sh = with_shingles(docs, n, text_col, max_tokens=max_tokens).select(
         F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
     )
+    sh = sh.cache()
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col("a.id") < F.col("b.id")])
