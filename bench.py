@@ -209,7 +209,7 @@ def run_crawl_throughput(spark) -> dict:
     measurements up to 2x, so no single rep is trusted; the per-rep
     raw numbers are kept alongside.
     """
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     _run_crawl(spark, n_pages=2000, warm=True)
     corpus = _bench_corpus(spark, CRAWL_PAGES)
@@ -222,14 +222,42 @@ def run_crawl_throughput(spark) -> dict:
         # steal also wrecks cache locality, which is not credited.)
         r["adj_secs"] = round(r["secs"] - r["steal_cpu_secs"] / cores, 2)
         r["adj_urls_per_sec"] = round(r["scheduled"] / r["adj_secs"], 1)
+        # contamination probe: a small same-leg decode calibration right
+        # after the rep. The steal counter only sees hypervisor-reported
+        # stolen ticks; contention windows that throttle without ticking
+        # (round-4's 1054-urls/s official run: 45 stolen CPU-s yet every
+        # stage uniformly 1.5-6x slow) show up here instead, because the
+        # probe is pure embarrassingly-parallel numpy whose clean-host
+        # rate is stable within a leg.
+        r["probe_imgs_per_sec"] = run_decode_calibration(spark, n=12000)[
+            "imgs_per_sec"
+        ]
         runs.append(r)
     for df in corpus.values():
         df.unpersist()
-    median = sorted(runs, key=lambda r: r["adj_secs"])[len(runs) // 2]
+    probes = sorted(r["probe_imgs_per_sec"] for r in runs)
+    probe_med = probes[len(probes) // 2]
+    survivors = [
+        r
+        for r in runs
+        if abs(r["probe_imgs_per_sec"] - probe_med) <= 0.25 * probe_med
+    ]
+    if len(survivors) < 2:  # pathological leg: keep the cleanest two
+        survivors = sorted(
+            runs, key=lambda r: abs(r["probe_imgs_per_sec"] - probe_med)
+        )[:2]
+    median = sorted(survivors, key=lambda r: r["adj_secs"])[len(survivors) // 2]
     median["reps"] = [
-        {"secs": r["secs"], "adj_secs": r["adj_secs"], "steal_cpu_secs": r["steal_cpu_secs"]}
+        {
+            "secs": r["secs"],
+            "adj_secs": r["adj_secs"],
+            "steal_cpu_secs": r["steal_cpu_secs"],
+            "probe_imgs_per_sec": r["probe_imgs_per_sec"],
+            "discarded": r not in survivors,
+        }
         for r in runs
     ]
+    median["reps_discarded"] = len(runs) - len(survivors)
     return median
 
 
@@ -274,7 +302,13 @@ def main() -> None:
             # scaling from the single-box ceiling that a real
             # 4N-executor cluster does not have).
             legs = {int(cpus) if cpus.isdigit() else (os.cpu_count() or 32): crawl}
-            low_legs = os.environ.get("SPARK_GRAFT_SCALING_LEGS", "8,2")
+            # default: just the north rule's N->4N pair (8->32). The
+            # supplementary 2->8 pair is SPARK_GRAFT_SCALING_LEGS=8,2 —
+            # dropped from the default because per-core decode rate
+            # falls monotonically with concurrency on this VM (no
+            # unsaturated sweet spot; see BENCH.md), and the extra
+            # ~10 min of 2-core wall just widens the steal window.
+            low_legs = os.environ.get("SPARK_GRAFT_SCALING_LEGS", "8")
             for low in [int(x) for x in low_legs.split(",") if x.strip()]:
                 env = dict(os.environ, SPARK_GRAFT_CPUS=str(low))
                 out = subprocess.run(

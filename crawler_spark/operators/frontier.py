@@ -722,8 +722,6 @@ class CrawlEngine:
         # url anti-join empties `stored`, so the already-committed pages
         # would permanently get no keyword matches.
         mark("plan")
-        self.catalog.append("bridge", new_bridge)
-        mark("bridge")
 
         # The strict chain continues pages -> seen -> bloom (a crash
         # between seen and pages would orphan seen urls whose pages
@@ -743,6 +741,13 @@ class CrawlEngine:
         from crawler_spark.storage import spark_schema_to_arrow
 
         def _commit_pages_seen_bloom() -> None:
+            # bridge heads this thread's chain (NOT a separate pool
+            # task): the crash-ordering invariant is bridge-before-
+            # pages, which a single thread preserves for free, while
+            # the append itself overlaps the lineage collect and the
+            # frontier stage running on the other two threads.
+            self.catalog.append("bridge", new_bridge)
+            mark("bridge")
             self.catalog.append("pages", new_pages)
             mark("pages")
             # merge_insert (not append): a crashed run that committed
