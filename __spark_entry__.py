@@ -792,6 +792,107 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling end-to-end: 8 multi-frame GIF89a
+    animations (functions/gif.py — full-canvas opaque frames, real
+    LZW) synthesized executor-side, sampled every 3rd frame via the
+    SAME frame_sample operator as AVI/MJPEG; only sampled frames'
+    LZW payloads are entropy-decoded (the container walk hops the
+    rest by length prefix). Because the codec is lossless over its
+    palette, the pin is STRICT: every sampled frame's phash must
+    EQUAL the ground truth's (distance 0, vs video_frames' <=4).
+    The oracle regenerates per-clip sampled counts; a sampling or
+    LZW regression loses rows / flips counts and fails the hash.
+    """
+    import pandas as pd
+
+    from crawler_spark.functions.gif import encode_gif_animation, quantize_332
+    from crawler_spark.functions.payload import phash64, pixels_for
+    from crawler_spark.operators.multimodal import frame_sample
+
+    @F.pandas_udf("binary")
+    def make_gif(video_id: pd.Series, n_frames: pd.Series) -> pd.Series:
+        out = []
+        for vid, n in zip(video_id, n_frames):
+            frames = [
+                quantize_332(pixels_for(f"{vid}_f{i}", 32, 24)) for i in range(int(n))
+            ]
+            out.append(encode_gif_animation(frames, [8] * int(n)))
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def gt_phash(video_id: pd.Series, frame_idx: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                phash64(quantize_332(pixels_for(f"{vid}_f{int(i)}", 32, 24)))
+                for vid, i in zip(video_id, frame_idx)
+            ]
+        )
+
+    vids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 8).select(
+        F.concat(F.lit("gifv_"), F.col("doc_id").cast("string")).alias("video_id"),
+        (F.lit(6) + F.col("doc_id") % 5).cast("int").alias("n_frames"),
+        F.lit(12.5).alias("fps"),
+        F.lit("gif").alias("fmt"),
+    )
+    clips = vids.withColumn("bytes", make_gif("video_id", "n_frames"))
+    sampled = frame_sample(clips, every_n=3)
+    return (
+        sampled.withColumn("gt", gt_phash("video_id", "frame_idx"))
+        .groupBy("video_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+            F.sum(
+                F.when(F.col("phash") == F.col("gt"), 1).otherwise(0)
+            ).alias("n_exact"),
+        )
+        .select("video_id", "n_sampled", "n_ok", "n_exact")
+    )
+
+
+def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF codec (functions/gif.py — real variable-width LZW) as a
+    contract query with a FULL value oracle.
+
+    64 SQL-reproducible gradient images ride palettize (3-3-2
+    quantize) -> LZW encode -> decode through the fused fetch UDF and
+    image_features; even ids encode plain, odd ids interlaced (the
+    spec's 4-pass row order), and since interlacing only permutes
+    storage the features must be identical. The DuckDB oracle
+    regenerates the quantized pixels with generate_series (the
+    quantizer is integer arithmetic: (c//32)*255//7, (b//64)*255//3)
+    and re-derives mean RGB + grayscale std — any LZW/palette/
+    deinterlace defect changes decoded bytes and fails the value
+    hash. Reference twin: the parsers consume whatever image bytes
+    the portals serve (src/advert.py:188-381); GIF is part of that
+    real-payload surface.
+    """
+    from crawler_spark.functions.payload import make_fetch_parse_udf, pixels_gradient
+    from crawler_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.lit(32).alias("w"),
+        F.lit(32).alias("h"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("gif"))
+        .otherwise(F.lit("gif_interlaced"))
+        .alias("fmt"),
+    )
+    fetch = make_fetch_parse_udf(store_bytes=True, validate=False, pixel_fn=pixels_gradient)
+    with_bytes = docs.withColumn("bytes", fetch("image_id", "w", "h", "fmt")["bytes"])
+    return image_features(with_bytes).select(
+        "image_id",
+        "w",
+        "h",
+        F.round(F.col("mean_rgb")[0], 6).alias("mean_r"),
+        F.round(F.col("mean_rgb")[1], 6).alias("mean_g"),
+        F.round(F.col("mean_rgb")[2], 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        F.col("decode_ok").cast("long").alias("decode_ok"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality plumbing: raw int16 PCM payloads -> typed features
     (duration, RMS, peak, zero-crossing rate) via mapInPandas
@@ -1080,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_fidelity": q_jpeg_fidelity,
         "jpeg_progressive": q_jpeg_progressive,
         "video_frames": q_video_frames,
+        "gif_features": q_gif_features,
+        "gif_frames": q_gif_frames,
         "audio_features": q_audio_features,
         "flac_features": q_flac_features,
         "audio_stream_meta": q_audio_stream_meta,
@@ -1385,6 +1488,40 @@ def oracle_sql() -> dict[str, str]:
             "  count(*)::BIGINT AS n_psnr_ok, "
             "  count(*)::BIGINT AS n_phash_close "
             "FROM documents WHERE doc_id < 48 GROUP BY 1"
+        ),
+        "gif_frames": (
+            # per-clip sampled-frame counts: n_frames = 6 + doc_id % 5,
+            # every 3rd -> ceil(n/3); the lossless-codec claim is
+            # pinned as n_ok = n_exact = n_sampled (phash EQUALITY,
+            # not closeness — the Spark side runs the real LZW walk)
+            "SELECT 'gifv_' || doc_id AS video_id, "
+            "  CAST(ceil((6 + doc_id % 5) / 3.0) AS BIGINT) AS n_sampled, "
+            "  CAST(ceil((6 + doc_id % 5) / 3.0) AS BIGINT) AS n_ok, "
+            "  CAST(ceil((6 + doc_id % 5) / 3.0) AS BIGINT) AS n_exact "
+            "FROM documents WHERE doc_id < 8"
+        ),
+        "gif_features": (
+            # regenerate the gradient pixels, apply the SAME integer
+            # 3-3-2 palettization the gif export path uses, and
+            # re-derive the features — a full value oracle through
+            # LZW encode/decode (+ the interlace permutation for odd
+            # ids, which must not change any feature)
+            "WITH ids AS (SELECT doc_id AS s, 'img_' || doc_id AS image_id "
+            "             FROM documents WHERE doc_id < 64), "
+            "px AS (SELECT image_id, "
+            "  ((s     + x * (s % 5 + 1) + y * (s % 7 + 2) + (x * y) % 7)  % 256) AS r, "
+            "  ((2 * s + x * (s % 5 + 1) + y * (s % 7 + 2) + (x * y) % 11) % 256) AS g, "
+            "  ((3 * s + x * (s % 5 + 1) + y * (s % 7 + 2) + (x * y) % 13) % 256) AS b "
+            "  FROM ids, generate_series(0, 31) AS gx(x), generate_series(0, 31) AS gy(y)), "
+            "q AS (SELECT image_id, "
+            "  ((r // 32) * 255) // 7 AS r, ((g // 32) * 255) // 7 AS g, "
+            "  ((b // 64) * 255) // 3 AS b FROM px) "
+            "SELECT image_id, 32::INT AS w, 32::INT AS h, "
+            "  round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g, "
+            "  round(avg(b), 6) AS mean_b, "
+            "  round(stddev_pop(0.299 * r + 0.587 * g + 0.114 * b), 6) AS std_gray, "
+            "  1::BIGINT AS decode_ok "
+            "FROM q GROUP BY image_id"
         ),
         "jpeg_progressive": (
             # pins the claim that progressive and baseline decodes of

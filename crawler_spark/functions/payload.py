@@ -104,10 +104,17 @@ def encode_payload(pixels: np.ndarray, fmt: str = "raw") -> bytes:
         from crawler_spark.functions.jpeg import encode_jpeg
 
         return encode_jpeg(pixels, quality=JPEG_QUALITY, progressive=True)
+    if fmt in ("gif", "gif_interlaced"):
+        # a GIF export is palettization + lossless LZW: the 3-3-2
+        # quantize is the deterministic (SQL-reproducible) palettizer,
+        # and everything after it round-trips exactly
+        from crawler_spark.functions.gif import encode_gif, quantize_332
+
+        return encode_gif(quantize_332(pixels), interlace=fmt == "gif_interlaced")
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no image libs); "
-        "'raw', 'png', 'jpeg' and 'jpeg_progressive' are the supported "
-        "interchange formats"
+        "'raw', 'png', 'jpeg', 'jpeg_progressive' and 'gif' are the "
+        "supported interchange formats"
     )
 
 
@@ -130,6 +137,13 @@ def decode_payload(data: bytes, w: int, h: int, fmt: str = "raw") -> np.ndarray:
             raise ValueError(
                 f"jpeg dims {px.shape[1]}x{px.shape[0]} != expected {w}x{h}"
             )
+        return px
+    if fmt in ("gif", "gif_interlaced"):  # decoder reads the interlace flag
+        from crawler_spark.functions.gif import decode_gif
+
+        px = decode_gif(data)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"gif dims {px.shape[1]}x{px.shape[0]} != expected {w}x{h}")
         return px
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no image libs)"

@@ -421,12 +421,18 @@ def frame_sample(df: DataFrame, every_n: int = 30, fmt_col: str = "fmt") -> Data
 
     Only sampled frames are entropy-decoded — MJPEG has no inter-frame
     prediction, so sampling cost is O(kept frames), the property that
-    makes the container walk cheap at corpus scale. Inter-frame
+    makes the container walk cheap at corpus scale. Animated GIF
+    (fmt='gif') gets the same treatment via functions/gif.py: the
+    block-grammar walk hops LZW payloads by their length prefixes,
+    and only the sampled frames' LZW is decoded (full-canvas opaque
+    frames are independent; layered animations fall back to a full
+    composite — see gif.sample_gif_frames). Inter-frame
     codecs (h264/vp9/av1) stay honestly NotImplementedError: motion
     compensation + CABAC need a real codec library; they slot in here
     exactly like jpeg/png slot into decode_payload. Row-level failures
     land as decode_ok=0 rows, never task failures.
     """
+    from crawler_spark.functions.gif import gif_frame_meta, sample_gif_frames
     from crawler_spark.functions.video import decode_video_frame, parse_avi_mjpeg
 
     fields = ["video_id", "bytes", "fps", "n_frames", fmt_col]
@@ -440,10 +446,29 @@ def frame_sample(df: DataFrame, every_n: int = 30, fmt_col: str = "fmt") -> Data
                 pdf["video_id"], pdf["bytes"], pdf["fps"], pdf["n_frames"], pdf[fmt_col]
             ):
                 try:
+                    if fmt == "gif":
+                        gmeta = gif_frame_meta(bytes(data))  # no entropy work
+                        if int(n_frames) != gmeta["n_frames"]:
+                            raise ValueError(
+                                f"metadata n_frames {int(n_frames)} != "
+                                f"container {gmeta['n_frames']}"
+                            )
+                        wanted = list(range(0, gmeta["n_frames"], every_n))
+                        for idx, px in zip(
+                            wanted, sample_gif_frames(bytes(data), wanted)
+                        ):
+                            out["video_id"].append(vid)
+                            out["frame_idx"].append(idx)
+                            out["t_s"].append(round(idx / float(fps), 6))
+                            out["w"].append(gmeta["w"])
+                            out["h"].append(gmeta["h"])
+                            out["phash"].append(phash64(px))
+                            out["decode_ok"].append(1)
+                        continue
                     if fmt != "avi":
                         raise NotImplementedError(
                             f"video codec {fmt!r} unavailable in this environment "
-                            "(avi/MJPG is the implemented container)"
+                            "(avi/MJPG and animated gif are the implemented containers)"
                         )
                     meta = parse_avi_mjpeg(bytes(data))
                     if int(n_frames) != meta["n_frames"]:

@@ -181,6 +181,46 @@ def test_frame_sample_real_avi_path(spark):
         assert len(by_vid[bad]) == 1 and by_vid[bad][0]["decode_ok"] == 0, bad
 
 
+def test_frame_sample_animated_gif_path(spark):
+    """frame_sample's gif branch: only sampled frames' LZW payloads
+    are decoded (lossless -> phash EQUALS ground truth), and bad rows
+    (frame-count mismatch, truncated stream) land as decode_ok=0."""
+    import pandas as pd
+
+    from crawler_spark.functions.gif import encode_gif_animation, quantize_332
+    from crawler_spark.functions.payload import phash64, pixels_for
+    from crawler_spark.operators import multimodal as mm
+
+    def gt(vid, i):
+        return quantize_332(pixels_for(f"{vid}_f{i}", 20, 16))
+
+    def clip(vid, n):
+        return encode_gif_animation([gt(vid, i) for i in range(n)], [8] * n)
+
+    rows = [
+        ("g_a", clip("g_a", 7), 12.5, 7, "gif"),
+        ("g_b", clip("g_b", 4), 12.5, 4, "gif"),
+        ("g_bad_count", clip("g_c", 3), 12.5, 9, "gif"),
+        ("g_corrupt", clip("g_d", 3)[:30], 12.5, 3, "gif"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "bytes", "fps", "n_frames", "fmt"])
+    )
+    out = mm.frame_sample(df, every_n=3).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_vid["g_a"]) == [0, 3, 6]
+    assert sorted(r["frame_idx"] for r in by_vid["g_b"]) == [0, 3]
+    for r in by_vid["g_a"] + by_vid["g_b"]:
+        assert r["decode_ok"] == 1
+        assert r["w"] == 20 and r["h"] == 16
+        assert abs(r["t_s"] - r["frame_idx"] / 12.5) < 1e-6
+        assert r["phash"] == phash64(gt(r["video_id"], r["frame_idx"]))
+    for bad in ("g_bad_count", "g_corrupt"):
+        assert len(by_vid[bad]) == 1 and by_vid[bad][0]["decode_ok"] == 0, bad
+
+
 def test_audio_features_flac_equals_pcm(spark):
     """FLAC payloads (real lossless codec, functions/flac.py) produce
     byte-identical features to the same PCM served raw; header-vs-
