@@ -7,10 +7,12 @@ partition sizing — is fully real and tested, and so are the codecs:
 'raw' RGB decodes with numpy, 'png' with the real stdlib-zlib codec
 in functions/payload.py (all five scanline filters, CRC-checked),
 'jpeg' with the real baseline+progressive decoder in functions/jpeg.py
-(Huffman + DCT on numpy/stdlib), 'pcm16'/'wav' with numpy + a stdlib
-RIFF chunk parser, 'flac' with the bit-exact codec in
-functions/flac.py, and AVI/MJPEG video with functions/video.py
-(only sampled frames entropy-decode). MP3 gets a real frame-grammar
+(Huffman + DCT on numpy/stdlib), 'gif' with the real LZW codec in
+functions/gif.py (interlace + animation), 'pcm16'/'wav' with numpy +
+a stdlib RIFF chunk parser, 'flac' with the bit-exact codec in
+functions/flac.py, and AVI/MJPEG video plus animated GIF with
+functions/video.py and functions/gif.py (only sampled frames
+entropy-decode in both containers). MP3 gets a real frame-grammar
 parser (functions/mpeg_audio: sync walk, CRC-16, Xing, ID3) feeding
 audio_stream_metadata; NotImplementedError remains only where the
 container genuinely lacks the wire format's codec ecosystem: mp3/ogg
