@@ -893,6 +893,40 @@ def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP codec (functions/bmp.py) as a contract query with a FULL
+    value oracle, branched per format: even ids ride lossless 24-bit
+    BI_RGB (features must equal the raw gradient's, like
+    image_features), odd ids ride 8-bit BI_RLE8 over the 3-3-2
+    palettization (features must equal the quantized gradient's, like
+    gif_features). Any scanline-padding, BGR-order, palette or RLE
+    defect changes decoded bytes and fails the value hash.
+    """
+    from crawler_spark.functions.payload import make_fetch_parse_udf, pixels_gradient
+    from crawler_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.lit(32).alias("w"),
+        F.lit(32).alias("h"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("bmp"))
+        .otherwise(F.lit("bmp_rle8"))
+        .alias("fmt"),
+    )
+    fetch = make_fetch_parse_udf(store_bytes=True, validate=False, pixel_fn=pixels_gradient)
+    with_bytes = docs.withColumn("bytes", fetch("image_id", "w", "h", "fmt")["bytes"])
+    return image_features(with_bytes).select(
+        "image_id",
+        "w",
+        "h",
+        F.round(F.col("mean_rgb")[0], 6).alias("mean_r"),
+        F.round(F.col("mean_rgb")[1], 6).alias("mean_g"),
+        F.round(F.col("mean_rgb")[2], 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        F.col("decode_ok").cast("long").alias("decode_ok"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality plumbing: raw int16 PCM payloads -> typed features
     (duration, RMS, peak, zero-crossing rate) via mapInPandas
@@ -1183,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "gif_features": q_gif_features,
         "gif_frames": q_gif_frames,
+        "bmp_features": q_bmp_features,
         "audio_features": q_audio_features,
         "flac_features": q_flac_features,
         "audio_stream_meta": q_audio_stream_meta,
@@ -1488,6 +1523,29 @@ def oracle_sql() -> dict[str, str]:
             "  count(*)::BIGINT AS n_psnr_ok, "
             "  count(*)::BIGINT AS n_phash_close "
             "FROM documents WHERE doc_id < 48 GROUP BY 1"
+        ),
+        "bmp_features": (
+            # parity-branched full value oracle: even ids (24-bit
+            # BI_RGB, lossless) re-derive features from the RAW
+            # gradient pixels; odd ids (BI_RLE8 over the 3-3-2
+            # palette) from the quantized pixels
+            "WITH ids AS (SELECT doc_id AS s, 'img_' || doc_id AS image_id, "
+            "             doc_id % 2 AS par FROM documents WHERE doc_id < 64), "
+            "px AS (SELECT image_id, par, "
+            "  ((s     + x * (s % 5 + 1) + y * (s % 7 + 2) + (x * y) % 7)  % 256) AS r, "
+            "  ((2 * s + x * (s % 5 + 1) + y * (s % 7 + 2) + (x * y) % 11) % 256) AS g, "
+            "  ((3 * s + x * (s % 5 + 1) + y * (s % 7 + 2) + (x * y) % 13) % 256) AS b "
+            "  FROM ids, generate_series(0, 31) AS gx(x), generate_series(0, 31) AS gy(y)), "
+            "q AS (SELECT image_id, "
+            "  CASE WHEN par = 0 THEN r ELSE ((r // 32) * 255) // 7 END AS r, "
+            "  CASE WHEN par = 0 THEN g ELSE ((g // 32) * 255) // 7 END AS g, "
+            "  CASE WHEN par = 0 THEN b ELSE ((b // 64) * 255) // 3 END AS b FROM px) "
+            "SELECT image_id, 32::INT AS w, 32::INT AS h, "
+            "  round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g, "
+            "  round(avg(b), 6) AS mean_b, "
+            "  round(stddev_pop(0.299 * r + 0.587 * g + 0.114 * b), 6) AS std_gray, "
+            "  1::BIGINT AS decode_ok "
+            "FROM q GROUP BY image_id"
         ),
         "gif_frames": (
             # per-clip sampled-frame counts: n_frames = 6 + doc_id % 5,

@@ -400,6 +400,15 @@ def main() -> None:
         "suite_total_sec": total,
         "efficiency": scaling.get("efficiency") if isinstance(scaling, dict) else None,
         "adj_efficiency": scaling.get("adj_efficiency") if isinstance(scaling, dict) else None,
+        # the same-run decode-only hardware ceiling and the engine's
+        # fraction of it: on this single-bus VM the ceiling itself is
+        # < 4x and swings per run, so the official record carries it
+        "hw_ceiling_efficiency": scaling.get("hw_ceiling_efficiency")
+        if isinstance(scaling, dict)
+        else None,
+        "efficiency_vs_hw_ceiling": scaling.get("efficiency_vs_hw_ceiling")
+        if isinstance(scaling, dict)
+        else None,
         "detail_file": detail_path,
     }
     line = json.dumps(slim)

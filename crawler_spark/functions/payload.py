@@ -111,6 +111,17 @@ def encode_payload(pixels: np.ndarray, fmt: str = "raw") -> bytes:
         from crawler_spark.functions.gif import encode_gif, quantize_332
 
         return encode_gif(quantize_332(pixels), interlace=fmt == "gif_interlaced")
+    if fmt == "bmp":
+        from crawler_spark.functions.bmp import encode_bmp
+
+        return encode_bmp(pixels)
+    if fmt == "bmp_rle8":
+        # like gif: palettization (the deterministic 3-3-2 quantizer)
+        # + a lossless entropy layer
+        from crawler_spark.functions.bmp import encode_bmp_rle8
+        from crawler_spark.functions.gif import quantize_332
+
+        return encode_bmp_rle8(quantize_332(pixels))
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no image libs); "
         "'raw', 'png', 'jpeg', 'jpeg_progressive' and 'gif' are the "
@@ -144,6 +155,13 @@ def decode_payload(data: bytes, w: int, h: int, fmt: str = "raw") -> np.ndarray:
         px = decode_gif(data)
         if px.shape != (h, w, 3):
             raise ValueError(f"gif dims {px.shape[1]}x{px.shape[0]} != expected {w}x{h}")
+        return px
+    if fmt in ("bmp", "bmp_rle8"):  # decoder reads bpp/compression fields
+        from crawler_spark.functions.bmp import decode_bmp
+
+        px = decode_bmp(data)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"bmp dims {px.shape[1]}x{px.shape[0]} != expected {w}x{h}")
         return px
     raise NotImplementedError(
         f"codec {fmt!r} not available in this environment (no image libs)"

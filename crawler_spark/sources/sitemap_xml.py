@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
+import zlib
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
@@ -43,14 +44,34 @@ SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
 # ------------------------------------------------------------ XML parse
 
 
+# sitemaps.org protocol: an uncompressed sitemap may not exceed 50 MB
+# — also the decompression-bomb ceiling for gzipped payloads below
+_SITEMAP_MAX_BYTES = 50 * 1024 * 1024
+
+
 def parse_locs(xml_text: str | bytes) -> list[str]:
     """Ordered non-empty <loc> texts of a sitemapindex/urlset document.
+
+    Gzipped payloads (sitemap.xml.gz — explicitly allowed by the
+    sitemaps.org protocol and ubiquitous in the wild) are detected by
+    magic bytes and inflated transparently, with the protocol's 50 MB
+    uncompressed cap doubling as the decompression-bomb guard: an
+    oversized or corrupt member yields no entries, like malformed XML.
 
     Namespace-aware first, un-namespaced fallback
     (src/harvester.py:1294-1299); empty/whitespace entries skipped
     (src/harvester.py:1303-1307). Malformed XML yields no entries
     (the reference logs and moves on).
     """
+    if isinstance(xml_text, (bytes, bytearray)) and bytes(xml_text[:2]) == b"\x1f\x8b":
+        try:
+            d = zlib.decompressobj(wbits=31)  # gzip member
+            inflated = d.decompress(bytes(xml_text), _SITEMAP_MAX_BYTES)
+            if d.unconsumed_tail:  # exceeds the protocol cap: reject
+                return []
+            xml_text = inflated
+        except zlib.error:
+            return []
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError:

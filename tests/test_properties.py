@@ -233,6 +233,39 @@ def test_jpeg_q100_near_lossless_any_dims(params):
 
 @FAST
 @given(
+    img_st,
+    st.integers(min_value=1, max_value=256),  # palette size
+    st.booleans(),                            # interlace
+)
+def test_gif_roundtrip_is_lossless_for_any_palettized_image(params, n_colors, laced):
+    """GIF is lossless over its palette BY DEFINITION: any image built
+    from <=256 colors round-trips exactly, at any dims, palette size
+    (down to 1 color — the mcs>=2 floor) and interlacing."""
+    from crawler_spark.functions.gif import decode_gif, encode_gif
+
+    w, h, seed = params
+    rng = np.random.Generator(np.random.PCG64(seed))
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, n_colors, size=(h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=laced)), img)
+
+
+@FAST
+@given(img_st, st.booleans())  # arbitrary true color; rle8 over 3-3-2
+def test_bmp_roundtrip_is_lossless_any_dims(params, rle):
+    from crawler_spark.functions.bmp import decode_bmp, encode_bmp, encode_bmp_rle8
+    from crawler_spark.functions.gif import quantize_332
+
+    img = _rand_img(*params[:2], params[2])
+    if rle:
+        img = quantize_332(img)
+        assert np.array_equal(decode_bmp(encode_bmp_rle8(img)), img)
+    else:
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@FAST
+@given(
     st.integers(min_value=1, max_value=3000),  # n samples
     st.integers(min_value=1, max_value=3),     # channels
     st.integers(min_value=0, max_value=2**31 - 1),

@@ -71,6 +71,27 @@ def test_parse_locs_malformed_xml():
     assert parse_locs("<urlset><loc>oops") == []
 
 
+def test_parse_locs_gzipped_sitemap():
+    import gzip
+
+    gz = gzip.compress(NS_URLSET.encode("utf-8"))
+    assert parse_locs(gz) == parse_locs(NS_URLSET)
+    assert parse_locs(gzip.compress(SITEMAP_INDEX.encode())) == parse_locs(
+        SITEMAP_INDEX
+    )
+
+
+def test_parse_locs_gzip_corrupt_and_bomb_rejected():
+    import gzip
+
+    gz = bytearray(gzip.compress(NS_URLSET.encode("utf-8")))
+    gz[12] ^= 0xFF
+    assert parse_locs(bytes(gz)) == []  # corrupt member: no entries
+    # a > 50 MB decompression bomb is rejected, not inflated
+    bomb = gzip.compress(b"<urlset>" + b" " * (51 * 1024 * 1024) + b"</urlset>")
+    assert parse_locs(bomb) == []
+
+
 def test_sitemapindex_regex_filter(spark):
     docs = spark.createDataFrame(
         pd.DataFrame(
