@@ -927,6 +927,67 @@ def q_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-decode image triage (operators/multimodal.image_stream_
+    metadata + functions/image_meta.py) as a contract query with a
+    FULL value oracle: 64 payloads cycle through jpeg / progressive-
+    jpeg-with-EXIF / png / interlaced-gif / rle8-bmp (every header
+    walk and the IFD parser on real spliced APP1 bytes), and the last
+    8 are truncated to exercise the parse_ok=0 lane. Every output
+    field is a deterministic function of doc_id, so the oracle is
+    pure CASE arithmetic — a sniffing, marker-walk, IHDR, block-hop,
+    DIB or EXIF regression flips a value and fails the hash.
+    """
+    import pandas as pd
+
+    from crawler_spark.functions.image_meta import attach_exif, build_exif_app1
+    from crawler_spark.functions.payload import encode_payload, pixels_gradient
+    from crawler_spark.operators.multimodal import image_stream_metadata
+
+    fmts = ["jpeg", "jpeg_progressive", "png", "gif_interlaced", "bmp_rle8"]
+
+    @F.pandas_udf("binary")
+    def make_bytes(image_id: pd.Series) -> pd.Series:
+        out = []
+        for iid in image_id:
+            s = int(str(iid).rsplit("_", 1)[-1])
+            w = 24 + (s % 3) * 8
+            px = pixels_gradient(iid, w, 32)
+            data = encode_payload(px, fmts[s % 5])
+            if s % 5 == 1:  # progressive lane carries EXIF
+                data = attach_exif(
+                    data,
+                    build_exif_app1(
+                        orientation=1 + s % 8,
+                        make=f"Cam_{s}",
+                        big_endian=s % 2 == 1,
+                    ),
+                )
+            if s >= 56:  # corruption lane: header cut mid-signature
+                data = data[:6]
+            out.append(data)
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string")).alias("image_id"),
+    )
+    with_bytes = docs.withColumn("bytes", make_bytes("image_id"))
+    meta = image_stream_metadata(with_bytes)
+    return meta.select(
+        "image_id",
+        "fmt_detected",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("bit_depth").cast("long").alias("bit_depth"),
+        F.col("progressive").cast("long").alias("progressive"),
+        F.col("interlaced").cast("long").alias("interlaced"),
+        F.col("exif_orientation").cast("long").alias("exif_orientation"),
+        "exif_make",
+        F.col("parse_ok").cast("long").alias("parse_ok"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality plumbing: raw int16 PCM payloads -> typed features
     (duration, RMS, peak, zero-crossing rate) via mapInPandas
@@ -1218,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_features": q_gif_features,
         "gif_frames": q_gif_frames,
         "bmp_features": q_bmp_features,
+        "image_stream_meta": q_image_stream_meta,
         "audio_features": q_audio_features,
         "flac_features": q_flac_features,
         "audio_stream_meta": q_audio_stream_meta,
@@ -1523,6 +1585,33 @@ def oracle_sql() -> dict[str, str]:
             "  count(*)::BIGINT AS n_psnr_ok, "
             "  count(*)::BIGINT AS n_phash_close "
             "FROM documents WHERE doc_id < 48 GROUP BY 1"
+        ),
+        "image_stream_meta": (
+            # every field is a deterministic function of doc_id: the
+            # oracle is pure CASE arithmetic while the Spark side
+            # actually sniffs magic bytes, walks JPEG markers to SOF,
+            # parses the spliced EXIF IFDs (both byte orders), reads
+            # IHDR/DIB headers and hops GIF blocks — and the >=56
+            # lane pins the parse_ok=0 path (truncated signatures)
+            "WITH ids AS (SELECT doc_id AS s, 'img_' || doc_id AS image_id "
+            "             FROM documents WHERE doc_id < 64) "
+            "SELECT image_id, "
+            "  CASE WHEN s >= 56 THEN NULL "
+            "       WHEN s % 5 IN (0, 1) THEN 'jpeg' WHEN s % 5 = 2 THEN 'png' "
+            "       WHEN s % 5 = 3 THEN 'gif' ELSE 'bmp' END AS fmt_detected, "
+            "  (CASE WHEN s >= 56 THEN NULL ELSE 24 + (s % 3) * 8 END)::BIGINT AS w, "
+            "  (CASE WHEN s >= 56 THEN NULL ELSE 32 END)::BIGINT AS h, "
+            "  (CASE WHEN s >= 56 THEN NULL ELSE 1 END)::BIGINT AS n_frames, "
+            "  (CASE WHEN s >= 56 OR s % 5 = 3 THEN NULL ELSE 8 END)::BIGINT AS bit_depth, "
+            "  (CASE WHEN s < 56 AND s % 5 = 0 THEN 0 "
+            "        WHEN s < 56 AND s % 5 = 1 THEN 1 END)::BIGINT AS progressive, "
+            "  (CASE WHEN s < 56 AND s % 5 = 2 THEN 0 "
+            "        WHEN s < 56 AND s % 5 = 3 THEN 1 END)::BIGINT AS interlaced, "
+            "  (CASE WHEN s < 56 AND s % 5 = 1 THEN 1 + s % 8 END)::BIGINT "
+            "    AS exif_orientation, "
+            "  CASE WHEN s < 56 AND s % 5 = 1 THEN 'Cam_' || s END AS exif_make, "
+            "  (CASE WHEN s < 56 THEN 1 ELSE 0 END)::BIGINT AS parse_ok "
+            "FROM ids"
         ),
         "bmp_features": (
             # parity-branched full value oracle: even ids (24-bit

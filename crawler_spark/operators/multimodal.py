@@ -400,6 +400,79 @@ def synth_pcm(audio_id: str, n_samples: int = 800) -> bytes:
     return v.astype("<i2").tobytes()
 
 
+IMAGE_STREAM_META_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("fmt_detected", StringType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
+        StructField("progressive", IntegerType(), True),
+        StructField("interlaced", IntegerType(), True),
+        StructField("exif_orientation", IntegerType(), True),
+        StructField("exif_make", StringType(), True),
+        StructField("parse_ok", IntegerType(), False),
+    ]
+)
+
+
+def image_stream_metadata(df: DataFrame) -> DataFrame:
+    """No-decode image triage (functions/image_meta.py): format sniff
+    by magic bytes, dims/flags from fixed headers (JPEG marker walk to
+    SOF, PNG IHDR, GIF block-grammar hop, BMP DIB header) and the
+    EXIF IFD walk — O(header bytes) per row, zero entropy work. This
+    is the FIRST pass a 100 TB image pipeline runs (route, dedup by
+    dims, orientation-fix planning) before any pixel is decoded —
+    the image analog of audio_stream_metadata's MP3 walk. Input
+    (image_id, bytes); malformed payloads land as parse_ok=0 rows.
+    """
+    import struct as _struct
+
+    from crawler_spark.functions.image_meta import image_meta
+
+    cols = [f.name for f in IMAGE_STREAM_META_SCHEMA]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(iid, data) -> dict:
+            m = image_meta(bytes(data))
+            exif = m.get("exif") or {}
+            return {
+                "image_id": iid,
+                "fmt_detected": m["fmt"],
+                "w": m.get("w"),
+                "h": m.get("h"),
+                "n_frames": m.get("n_frames"),
+                "bit_depth": m.get("bit_depth"),
+                "progressive": (
+                    int(m["progressive"]) if "progressive" in m else None
+                ),
+                "interlaced": int(m["interlaced"]) if "interlaced" in m else None,
+                "exif_orientation": exif.get("orientation"),
+                "exif_make": exif.get("make"),
+                "parse_ok": 1,
+            }
+
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    rows.append(one(iid, data))
+                except (ValueError, TypeError, _struct.error):
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            **{k: None for k in cols[1:-1]},
+                            "parse_ok": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("image_id", "bytes").mapInPandas(
+        extract, schema=IMAGE_STREAM_META_SCHEMA
+    )
+
+
 VIDEO_FRAMES_SCHEMA = StructType(
     [
         StructField("video_id", StringType(), False),
