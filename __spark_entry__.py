@@ -1121,6 +1121,79 @@ def q_audio_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text-frame extraction (functions/mpeg_audio.build_id3v2 /
+    parse_id3v2) as a contract query: 64 real MP3 streams carry real
+    ID3v2.3 (plain frame sizes) or ID3v2.4 (syncsafe) tags with
+    TIT2/TPE1/TALB text frames — except the s%8==7 lane, which has no
+    tag and pins the absent-tag path. Every output field is CASE
+    arithmetic on doc_id in the oracle; the Spark side actually walks
+    the tag grammar (both frame-size conventions, padding, v2.3
+    latin-1 vs v2.4 utf-8 encodings). The audio analog of
+    image_stream_meta's EXIF pin.
+    """
+    import pandas as pd
+
+    from crawler_spark.functions.mpeg_audio import encode_mp3_shell, parse_id3v2
+
+    @F.pandas_udf(
+        "struct<version:int,title:string,artist:string,album:string,parse_ok:int>"
+    )
+    def tags(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for aid in ids:
+            s = int(str(aid).rsplit("_", 1)[-1])
+            frames = (
+                None
+                if s % 8 == 7
+                else {
+                    "TIT2": f"Track {s}",
+                    "TPE1": f"Artist_{s % 7}",
+                    "TALB": f"Album_{s % 5}",
+                }
+            )
+            data = encode_mp3_shell(
+                n_frames=4,
+                id3v2_frames=frames,
+                id3v2_version=3 + s % 2,
+                # padding on top of real frames; the no-tag lane must
+                # not even get the legacy skip-blob (it parses as an
+                # empty tag)
+                id3v2_size=0 if frames is None else (s % 3) * 11,
+            )
+            try:
+                got = parse_id3v2(data)
+                f = got["frames"]
+                rows.append(
+                    {
+                        "version": got["version"],
+                        "title": f.get("TIT2"),
+                        "artist": f.get("TPE1"),
+                        "album": f.get("TALB"),
+                        "parse_ok": 1,
+                    }
+                )
+            except ValueError:
+                rows.append(
+                    {"version": None, "title": None, "artist": None,
+                     "album": None, "parse_ok": 0}
+                )
+        return pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("mp_"), F.col("doc_id").cast("string")).alias("audio_id"),
+    )
+    t = docs.withColumn("t", tags("audio_id"))
+    return t.select(
+        "audio_id",
+        F.col("t.version").cast("long").alias("id3_version"),
+        F.col("t.title").alias("title"),
+        F.col("t.artist").alias("artist"),
+        F.col("t.album").alias("album"),
+        F.col("t.parse_ok").cast("long").alias("parse_ok"),
+    )
+
+
 def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: minhash LSH pairs -> connected components
     -> keep the min-id representative per duplicate CLUSTER. The
@@ -1280,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "bmp_features": q_bmp_features,
         "image_stream_meta": q_image_stream_meta,
+        "mp3_id3_tags": q_mp3_id3_tags,
         "audio_features": q_audio_features,
         "flac_features": q_flac_features,
         "audio_stream_meta": q_audio_stream_meta,
@@ -1585,6 +1659,22 @@ def oracle_sql() -> dict[str, str]:
             "  count(*)::BIGINT AS n_psnr_ok, "
             "  count(*)::BIGINT AS n_phash_close "
             "FROM documents WHERE doc_id < 48 GROUP BY 1"
+        ),
+        "mp3_id3_tags": (
+            # pure CASE arithmetic; the Spark side walks real ID3v2.3
+            # (plain frame sizes, latin-1) and v2.4 (syncsafe, utf-8)
+            # tags inside byte-valid MP3 streams; s%8==7 has no tag
+            "SELECT 'mp_' || doc_id AS audio_id, "
+            "  (CASE WHEN doc_id % 8 = 7 THEN NULL "
+            "        ELSE 3 + doc_id % 2 END)::BIGINT AS id3_version, "
+            "  CASE WHEN doc_id % 8 = 7 THEN NULL "
+            "       ELSE 'Track ' || doc_id END AS title, "
+            "  CASE WHEN doc_id % 8 = 7 THEN NULL "
+            "       ELSE 'Artist_' || (doc_id % 7) END AS artist, "
+            "  CASE WHEN doc_id % 8 = 7 THEN NULL "
+            "       ELSE 'Album_' || (doc_id % 5) END AS album, "
+            "  (CASE WHEN doc_id % 8 = 7 THEN 0 ELSE 1 END)::BIGINT AS parse_ok "
+            "FROM documents WHERE doc_id < 64"
         ),
         "image_stream_meta": (
             # every field is a deterministic function of doc_id: the

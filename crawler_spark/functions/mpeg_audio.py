@@ -177,6 +177,102 @@ def _skip_id3v2(data: bytes) -> int:
     return 10 + size + footer
 
 
+# ------------------------------------------------------------- id3v2
+# Text-frame extraction (TIT2/TPE1/TALB/...) per the public ID3v2.3.0
+# and ID3v2.4.0 informal standards — the audio analog of the EXIF IFD
+# walk in functions/image_meta.py: typed caption-ish metadata pulled
+# from the tag WITHOUT touching audio frames.
+
+_ID3_TEXT_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _syncsafe(n: int) -> bytes:
+    if n & ~0x0FFFFFFF:
+        raise ValueError("id3v2 size out of syncsafe range")
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def _unsyncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("id3v2 size bytes not syncsafe")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def build_id3v2(
+    frames: dict[str, str],
+    version: int = 3,
+    padding: int = 0,
+    encoding: int | None = None,
+) -> bytes:
+    """Real ID3v2.3/2.4 tag holding text frames.
+
+    Frame sizes are plain 32-bit big-endian in v2.3 and syncsafe in
+    v2.4 (the classic interop trap — both paths here and in the
+    parser); default text encodings are the version-idiomatic ones
+    (v2.3: 0 latin-1, v2.4: 3 utf-8), overridable to exercise the
+    utf-16 paths."""
+    if version not in (3, 4):
+        raise ValueError("id3v2 version must be 3 or 4")
+    enc = encoding if encoding is not None else (0 if version == 3 else 3)
+    codec = _ID3_TEXT_ENCODINGS.get(enc)
+    if codec is None:
+        raise ValueError(f"id3v2 text encoding {enc} invalid")
+    body = bytearray()
+    for fid, text in sorted(frames.items()):
+        if len(fid) != 4 or not fid.isascii() or not fid.startswith("T"):
+            raise ValueError(f"only T*** text frames supported, got {fid!r}")
+        payload = bytes([enc]) + text.encode(codec)
+        size = _syncsafe(len(payload)) if version == 4 else struct.pack(">I", len(payload))
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    body += bytes(padding)
+    return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + bytes(body)
+
+
+def parse_id3v2(data: bytes) -> dict:
+    """Extract the text frames of a leading ID3v2.3/2.4 tag:
+    {"version", "tag_size", "frames": {frame_id: text}}. Raises
+    ValueError when no tag is present or the tag is malformed;
+    unsynchronised tags and v2.2 are rejected loudly (not guessed)."""
+    data = bytes(data)
+    if data[:3] != b"ID3" or len(data) < 10:
+        raise ValueError("no ID3v2 tag")
+    ver, _rev, flags = data[3], data[4], data[5]
+    if ver not in (3, 4):
+        raise ValueError(f"id3v2.{ver} unsupported (v2.3/v2.4 implemented)")
+    if flags & 0x80:
+        raise ValueError("id3v2 unsynchronisation unsupported")
+    size = _unsyncsafe(data[6:10])
+    end = 10 + size
+    if end > len(data):
+        raise ValueError("id3v2 tag size exceeds data")
+    pos = 10
+    if flags & 0x40:  # extended header
+        if pos + 4 > end:
+            raise ValueError("id3v2 extended header truncated")
+        (eh,) = struct.unpack_from(">I", data, pos)
+        # v2.3: size EXCLUDES the 4 size bytes; v2.4: syncsafe, INCLUDES them
+        pos += 4 + eh if ver == 3 else _unsyncsafe(data[pos : pos + 4])
+    frames: dict[str, str] = {}
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if fid[0] == 0:  # padding reached
+            break
+        raw_size = data[pos + 4 : pos + 8]
+        fsize = _unsyncsafe(raw_size) if ver == 4 else struct.unpack(">I", raw_size)[0]
+        if pos + 10 + fsize > end:
+            raise ValueError(f"id3v2 frame {fid!r} exceeds tag")
+        payload = data[pos + 10 : pos + 10 + fsize]
+        if fid.startswith(b"T") and fid != b"TXXX" and payload:
+            codec = _ID3_TEXT_ENCODINGS.get(payload[0])
+            if codec is None:
+                raise ValueError(f"id3v2 text encoding {payload[0]} invalid")
+            frames[fid.decode("ascii")] = (
+                payload[1:].decode(codec, "replace").split("\x00")[0]
+            )
+        pos += 10 + fsize
+    return {"version": ver, "tag_size": size, "frames": frames}
+
+
 def _xing_info(data: bytes, pos: int, hdr: FrameHeader) -> dict | None:
     """Xing/Info block, if present right after this frame's side info."""
     off = pos + 4 + (2 if hdr.crc_protected else 0) + side_info_length(
@@ -325,6 +421,8 @@ def encode_mp3_shell(
     with_crc: bool = False,
     id3v2_size: int = 0,
     id3v1: bool = False,
+    id3v2_frames: dict[str, str] | None = None,
+    id3v2_version: int = 3,
 ) -> bytes:
     """Byte-valid Layer III stream: real headers/lengths/CRCs/Xing with
     zeroed main data (the synthesizer twin of encode_wav/the AVI shell
@@ -374,7 +472,10 @@ def encode_mp3_shell(
         n_audio += 1
 
     out = bytearray()
-    if id3v2_size:
+    if id3v2_frames is not None:
+        # a REAL tag (text frames + padding), not just a skippable blob
+        out += build_id3v2(id3v2_frames, version=id3v2_version, padding=id3v2_size)
+    elif id3v2_size:
         if id3v2_size & ~0x0FFFFFFF:
             raise ValueError("id3v2 size out of syncsafe range")
         out += b"ID3\x04\x00\x00" + bytes(

@@ -277,3 +277,59 @@ def test_audio_stream_metadata_operator(spark):
 
     assert out["bad"]["parse_ok"] == 0 and out["bad"]["container"] is None
     assert out["odd"]["parse_ok"] == 0  # ogg: honest NotImplemented -> row flag
+
+
+# ------------------------------------------------------------- id3v2
+def test_id3v2_text_frames_roundtrip_both_versions():
+    from crawler_spark.functions.mpeg_audio import build_id3v2, parse_id3v2
+
+    frames = {"TIT2": "A Crawl Song", "TPE1": "The Spiders", "TALB": "Webs"}
+    for ver in (3, 4):
+        tag = build_id3v2(frames, version=ver, padding=17)
+        got = parse_id3v2(tag)
+        assert got["version"] == ver
+        assert got["frames"] == frames
+
+
+def test_id3v2_utf16_and_utf8_encodings():
+    from crawler_spark.functions.mpeg_audio import build_id3v2, parse_id3v2
+
+    frames = {"TIT2": "Çrawlée — ünïcode"}
+    for ver, enc in ((3, 1), (4, 3), (4, 1)):
+        tag = build_id3v2(frames, version=ver, encoding=enc)
+        assert parse_id3v2(tag)["frames"] == frames
+
+
+def test_id3v2_inside_real_mp3_stream():
+    from crawler_spark.functions.mpeg_audio import (
+        encode_mp3_shell,
+        parse_id3v2,
+        parse_mp3,
+    )
+
+    frames = {"TIT2": "Title", "TPE1": "Artist"}
+    data = encode_mp3_shell(
+        n_frames=6, id3v2_frames=frames, id3v2_version=4, id3v2_size=9, id3v1=True
+    )
+    # the tag parses AND the frame walk still sees every audio frame
+    assert parse_id3v2(data)["frames"] == frames
+    meta = parse_mp3(data)
+    assert meta["n_frames"] == 6
+    assert meta["has_id3v1"] is True
+
+
+def test_id3v2_malformed_rejected():
+    from crawler_spark.functions.mpeg_audio import build_id3v2, parse_id3v2
+
+    with pytest.raises(ValueError, match="no ID3v2"):
+        parse_id3v2(b"XXX" + bytes(20))
+    tag = bytearray(build_id3v2({"TIT2": "t" * 40}, version=4))
+    tag[5] |= 0x80  # unsynchronisation flag
+    with pytest.raises(ValueError, match="unsynchronisation"):
+        parse_id3v2(bytes(tag))
+    tag2 = bytearray(build_id3v2({"TIT2": "t" * 40}, version=3))
+    struct.pack_into(">I", tag2, 14, 1 << 20)  # frame size beyond tag
+    with pytest.raises(ValueError, match="exceeds tag"):
+        parse_id3v2(bytes(tag2))
+    with pytest.raises(ValueError, match="text frames"):
+        build_id3v2({"APIC": "nope"})
