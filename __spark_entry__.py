@@ -1121,6 +1121,50 @@ def q_audio_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_favicon_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO/favicon containers (functions/ico.py) through the no-decode
+    triage operator: 64 icons carry 1 + s%3 directory entries (16/32/
+    48 px, alternating header-less 32-bit DIB and embedded PNG
+    storage); the operator reports the directory walk's entry count
+    and largest-entry dims with zero pixel work. The >=56 lane is cut
+    mid-ICONDIR and pins parse_ok=0. Every field is CASE arithmetic
+    on doc_id in the oracle.
+    """
+    import pandas as pd
+
+    from crawler_spark.functions.ico import encode_ico
+    from crawler_spark.functions.payload import pixels_gradient
+    from crawler_spark.operators.multimodal import image_stream_metadata
+
+    @F.pandas_udf("binary")
+    def make_ico(image_id: pd.Series) -> pd.Series:
+        out = []
+        for iid in image_id:
+            s = int(str(iid).rsplit("_", 1)[-1])
+            n = 1 + s % 3
+            entries = [
+                (pixels_gradient(iid, d, d), "bmp32" if (s + j) % 2 == 0 else "png")
+                for j, d in enumerate([16, 32, 48][:n])
+            ]
+            data = encode_ico(entries)
+            out.append(data[:5] if s >= 56 else data)
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("ico_"), F.col("doc_id").cast("string")).alias("image_id"),
+    )
+    meta = image_stream_metadata(docs.withColumn("bytes", make_ico("image_id")))
+    return meta.select(
+        "image_id",
+        "fmt_detected",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("bit_depth").cast("long").alias("bit_depth"),
+        F.col("parse_ok").cast("long").alias("parse_ok"),
+    )
+
+
 def q_mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 text-frame extraction (functions/mpeg_audio.build_id3v2 /
     parse_id3v2) as a contract query: 64 real MP3 streams carry real
@@ -1354,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_features": q_bmp_features,
         "image_stream_meta": q_image_stream_meta,
         "mp3_id3_tags": q_mp3_id3_tags,
+        "favicon_meta": q_favicon_meta,
         "audio_features": q_audio_features,
         "flac_features": q_flac_features,
         "audio_stream_meta": q_audio_stream_meta,
@@ -1659,6 +1704,22 @@ def oracle_sql() -> dict[str, str]:
             "  count(*)::BIGINT AS n_psnr_ok, "
             "  count(*)::BIGINT AS n_phash_close "
             "FROM documents WHERE doc_id < 48 GROUP BY 1"
+        ),
+        "favicon_meta": (
+            # directory-walk pins: n_frames = 1 + s%3 entries, largest
+            # dim 16/32/48 accordingly, bpp 32 for both storage kinds;
+            # the >=56 lane is cut mid-ICONDIR -> parse_ok 0
+            "SELECT 'ico_' || doc_id AS image_id, "
+            "  CASE WHEN doc_id >= 56 THEN NULL ELSE 'ico' END AS fmt_detected, "
+            "  (CASE WHEN doc_id >= 56 THEN NULL "
+            "        ELSE 16 * (1 + doc_id % 3) END)::BIGINT AS w, "
+            "  (CASE WHEN doc_id >= 56 THEN NULL "
+            "        ELSE 16 * (1 + doc_id % 3) END)::BIGINT AS h, "
+            "  (CASE WHEN doc_id >= 56 THEN NULL "
+            "        ELSE 1 + doc_id % 3 END)::BIGINT AS n_frames, "
+            "  (CASE WHEN doc_id >= 56 THEN NULL ELSE 32 END)::BIGINT AS bit_depth, "
+            "  (CASE WHEN doc_id < 56 THEN 1 ELSE 0 END)::BIGINT AS parse_ok "
+            "FROM documents WHERE doc_id < 64"
         ),
         "mp3_id3_tags": (
             # pure CASE arithmetic; the Spark side walks real ID3v2.3

@@ -55,6 +55,8 @@ def sniff_format(data: bytes) -> str | None:
         return "gif"
     if head[:2] == b"BM":
         return "bmp"
+    if head[:4] == b"\x00\x00\x01\x00" and len(data) >= 6:
+        return "ico"
     return None
 
 
@@ -282,4 +284,8 @@ def image_meta(data: bytes) -> dict:
         return meta
     if fmt == "bmp":
         return bmp_meta(data)
+    if fmt == "ico":
+        from crawler_spark.functions.ico import ico_meta
+
+        return ico_meta(data)
     raise ValueError("unrecognized image format")
